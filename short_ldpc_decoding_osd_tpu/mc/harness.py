@@ -1,0 +1,170 @@
+"""Single-host Monte-Carlo FER harness.
+
+Replaces the reference's file-mediated test loop
+(``Ldpc_128_testing/ldpc_128_testing.py:99-153``): frames are generated,
+decoded and reduced fully on device; the host only polls scalar counters to
+apply the error-budget early stop (40k frame errors for NMS, 500/100 failures
+for the OSD stages).  Failed frames are compacted on device into a
+fixed-capacity buffer (sort-by-flag + gather) instead of TFRecord files —
+SURVEY.md §7 decision 6 — with overflow accounted, never silently dropped.
+
+The multi-device version lives in ``parallel/mc_sharded.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..channel import ChannelSpec, sample_batch
+from ..codes import Code
+from ..ops import nms
+from ..utils.metrics import DecodeStats
+
+
+@dataclasses.dataclass
+class FailureBatch:
+    """Host-side copy of captured decoder failures (detected, syndrome != 0)."""
+
+    trajectories: np.ndarray  # (count, T+1, n) per-iteration soft outputs
+    labels: np.ndarray  # (count, n) transmitted codewords
+    overflow: int  # failures that did not fit the capture buffer
+
+
+def build_nms_mc_step(
+    code: Code,
+    variant: str,
+    num_iterations: int,
+    spec: ChannelSpec,
+    batch: int,
+    capture_capacity: int = 0,
+    all_zeros: bool = False,
+):
+    """Build a jitted (params, key) -> (counters, capture) Monte-Carlo step.
+
+    counters = [frames, frame_errors, bit_errors, detected, undetected].
+    """
+    h = jnp.asarray(code.h, jnp.float32)
+    gen = jnp.asarray(code.g, jnp.float32)
+    edge_cols = (
+        jnp.asarray(nms.edge_columns(code.h)) if variant == "NMS-r" else None
+    )
+
+    @jax.jit
+    def step(params, key):
+        llr, words = sample_batch(key, spec, gen, batch, all_zeros=all_zeros)
+        outs = nms.decode(params, h, llr, num_iterations, variant, edge_cols)
+        st = nms.frame_stats(outs[-1], words, h)
+        counters = jnp.stack(
+            [
+                jnp.asarray(batch, jnp.int64),
+                jnp.sum(st["frame_error"].astype(jnp.int64)),
+                jnp.sum(st["bit_errors"].astype(jnp.int64)),
+                jnp.sum(st["detected_failure"].astype(jnp.int64)),
+                jnp.sum(st["undetected_error"].astype(jnp.int64)),
+            ]
+        )
+        if not capture_capacity:
+            return counters, None
+        flag = st["detected_failure"]
+        order = jnp.argsort(jnp.logical_not(flag), stable=True)  # failures first
+        take = order[:capture_capacity]
+        capture = {
+            "count": jnp.sum(flag.astype(jnp.int32)),
+            "trajectories": jnp.transpose(outs[:, take, :], (1, 0, 2)),
+            "labels": words[take],
+        }
+        return counters, capture
+
+    return step
+
+
+def run_nms_mc(
+    code: Code,
+    params: dict,
+    variant: str,
+    num_iterations: int,
+    snr_db: float,
+    batch: int = 1024,
+    error_budget: int = 40_000,
+    max_frames: int = 10**8,
+    seed: int = 0,
+    capture_failures: bool = False,
+    capture_limit: int = 100_000,
+    spec: ChannelSpec | None = None,
+    progress: bool = False,
+) -> tuple[DecodeStats, FailureBatch | None]:
+    """Monte-Carlo FER sweep at one SNR point with error-budget early stop.
+
+    Mirrors the stage-5 semantics: stop when total frame errors exceed
+    ``error_budget`` or ``max_frames`` frames were decoded
+    (``ldpc_128_testing.py:36,130-131``)."""
+    spec = spec or ChannelSpec.awgn(snr_db, code.rate)
+    capacity = min(batch, capture_limit) if capture_failures else 0
+    step = build_nms_mc_step(
+        code, variant, num_iterations, spec, batch, capture_capacity=capacity
+    )
+    key = jax.random.PRNGKey(seed)
+    stats = DecodeStats(bits_per_frame=code.n)
+    traj_list: list[np.ndarray] = []
+    label_list: list[np.ndarray] = []
+    overflow = 0
+    captured_total = 0
+    step_idx = 0
+    while stats.frames < max_frames and stats.frame_errors <= error_budget:
+        counters, capture = step(params, jax.random.fold_in(key, step_idx))
+        step_idx += 1
+        c = np.asarray(counters)
+        stats = stats.merge(
+            DecodeStats(
+                frames=int(c[0]),
+                frame_errors=int(c[1]),
+                bit_errors=int(c[2]),
+                bits_per_frame=code.n,
+                detected_failures=int(c[3]),
+                undetected_errors=int(c[4]),
+            )
+        )
+        if capture is not None:
+            count = int(capture["count"])
+            fit = min(count, capacity)
+            room = max(0, capture_limit - captured_total)
+            keep = min(fit, room)
+            overflow += count - keep
+            if keep:
+                traj_list.append(np.asarray(capture["trajectories"][:keep]))
+                label_list.append(np.asarray(capture["labels"][:keep]))
+                captured_total += keep
+        if progress:
+            print(
+                f"  snr={snr_db:.2f} frames={stats.frames} "
+                f"FER={stats.fer:.3e} failures={stats.detected_failures}",
+                flush=True,
+            )
+    failures = None
+    if capture_failures:
+        if traj_list:
+            failures = FailureBatch(
+                trajectories=np.concatenate(traj_list),
+                labels=np.concatenate(label_list),
+                overflow=overflow,
+            )
+        else:
+            failures = FailureBatch(
+                trajectories=np.zeros((0, num_iterations + 1, code.n), np.float32),
+                labels=np.zeros((0, code.n), np.int32),
+                overflow=overflow,
+            )
+    return stats, failures
+
+
+def iteration_ce_list(trajectories: np.ndarray, labels: np.ndarray) -> list[float]:
+    """Per-iteration cross-entropy over a failure set (``ms_test.py:251-267``)."""
+    logits = -trajectories.astype(np.float64)  # (N, T+1, n)
+    z = labels[:, None, :].astype(np.float64)
+    ce = np.maximum(logits, 0) - logits * z + np.log1p(np.exp(-np.abs(logits)))
+    return [float(x) for x in ce.sum(axis=(0, 2))]

@@ -1,0 +1,96 @@
+import numpy as np
+import pytest
+
+from short_ldpc_decoding_osd_tpu.codes import (
+    Code,
+    dump_alist,
+    get_code,
+    gf2,
+    make_regular_ldpc,
+    parse_alist,
+)
+
+
+def test_alist_roundtrip():
+    rng = np.random.default_rng(0)
+    h = (rng.random((10, 24)) < 0.3).astype(np.uint8)
+    h[:, 0] = 1  # avoid zero-degree columns
+    assert np.array_equal(parse_alist(dump_alist(h)), h)
+
+
+def test_row_reduce_identity_block():
+    rng = np.random.default_rng(1)
+    for _ in range(20):
+        m, n = 12, 28
+        h = (rng.random((m, n)) < 0.4).astype(np.uint8)
+        reduced, swaps = gf2.row_reduce(h)
+        r = reduced.shape[0]
+        # leading r x r block must be the identity after recorded swaps
+        assert np.array_equal(reduced[:, :r], np.eye(r, dtype=np.uint8))
+        # row space is preserved: reduced rows must satisfy the same codewords
+        order = gf2.apply_swaps_to_index(n, swaps)
+        h_swapped = h[:, order]
+        # rank of stacked [h_swapped; reduced] equals rank of h
+        stacked = np.concatenate([h_swapped, reduced], axis=0)
+        assert gf2.rank(stacked) == gf2.rank(h_swapped) == r
+
+
+def test_generator_orthogonality_ccsds():
+    code = get_code("ccsds_128_64")
+    assert (code.n, code.m, code.k) == (128, 64, 64)
+    assert code.max_chk_degree == 8
+    syndrome = code.h.astype(int) @ code.g.T.astype(int) % 2
+    assert not syndrome.any()
+
+
+def test_encode_codewords_satisfy_parity():
+    code = get_code("ccsds_128_64")
+    rng = np.random.default_rng(2)
+    msgs = rng.integers(0, 2, size=(50, code.k))
+    words = code.encode(msgs)
+    assert not (code.h.astype(int) @ words.T % 2).any()
+
+
+def test_extended_enms_rows():
+    # CCSDS rows overlap in at most 1 position, so under the reference's rule
+    # (pair weight <= 2*dc-4, i.e. overlap >= 2) no rows qualify there;
+    # exercise the extension on a code that does have overlapping rows.
+    h = np.array(
+        [[1, 1, 1, 1, 0, 0, 0], [1, 1, 0, 0, 1, 1, 0], [0, 0, 1, 0, 1, 0, 1]],
+        dtype=np.uint8,
+    )
+    code = Code.from_parity(h, "tiny")
+    ext = code.extended()
+    cap = 2 * code.max_chk_degree - 4
+    assert ext.m > code.m
+    extra = ext.h[code.m :]
+    assert (extra.sum(axis=1) <= cap).all()
+    # extra rows still orthogonal to G
+    assert not (extra.astype(int) @ code.g.T.astype(int) % 2).any()
+    # and the CCSDS extension is a no-op, matching the reference rule
+    ccsds = get_code("ccsds_128_64")
+    assert ccsds.extended().m == ccsds.m
+
+
+@pytest.mark.parametrize("name", ["regular_256_128", "regular_512_256"])
+def test_regular_code_construction(name):
+    code = get_code(name)
+    assert code.k == code.n - code.m
+    assert not (code.h.astype(int) @ code.g.T.astype(int) % 2).any()
+
+
+def test_custom_code_from_parity():
+    # (7,4) Hamming
+    h = np.array(
+        [[1, 0, 1, 0, 1, 0, 1], [0, 1, 1, 0, 0, 1, 1], [0, 0, 0, 1, 1, 1, 1]],
+        dtype=np.uint8,
+    )
+    code = Code.from_parity(h, "hamming_7_4")
+    assert code.k == 4
+    msgs = np.array([[1, 0, 1, 1]])
+    assert not (h.astype(int) @ code.encode(msgs).T % 2).any()
+
+
+def test_make_regular_full_rank():
+    code = make_regular_ldpc(64, 32, row_weight=6, seed=5)
+    assert gf2.rank(code.h) == 32
