@@ -1,0 +1,21 @@
+from .dia import (
+    DIA_MODELS,
+    ConvBitwise,
+    RnnOne,
+    RnnTwo,
+    StopperFcn,
+    dia_loss,
+    make_dia,
+    stopper_engine_params,
+)
+
+__all__ = [
+    "DIA_MODELS",
+    "ConvBitwise",
+    "RnnOne",
+    "RnnTwo",
+    "StopperFcn",
+    "dia_loss",
+    "make_dia",
+    "stopper_engine_params",
+]

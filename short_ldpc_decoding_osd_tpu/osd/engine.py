@@ -1,0 +1,257 @@
+"""Batched OSD engine: reorder -> GF(2) elimination -> TEP walk -> stopper.
+
+TPU-first redesign of ``DL_OSD_Testing_serial/ordered_statistics_decoding.py``:
+the per-frame Python loops become batched tensor programs.
+
+* Permutation dance (|LLR| sort, GE column swaps, MRB re-sort) is the batched
+  ``ops.gf2ops`` pipeline (bit-exact vs the reference host algorithm, see
+  tests/test_gf2ops.py).
+* Candidate re-encoding ``lrb = M @ (tep ^ mrb0)`` and the weighted-Hamming
+  discrepancy are folded into MXU matmuls:  with ``x ^ y = x + y - 2xy`` the
+  discrepancy of every TEP in a block reduces to an affine map
+  ``c + u_l @ mod2(M @ T^T) + u_m @ T^T`` — no per-TEP gathers.
+* The sliding-window early stop (``sliding_osd``, ``:164-220``) is replayed
+  as a short ``lax.scan`` over block indices (<= 30 steps) on the [B, P]
+  block-minima matrix, reproducing the serial walk's decisions (window
+  contents, skip rule, stop probability threshold) for every frame in
+  parallel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import gf2ops
+
+_BIG = jnp.float32(3.4e38)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PreparedBatch:
+    """Per-frame quantities in the final (reliability + GE) column order."""
+
+    order_updated: jnp.ndarray  # (B, n) DIA-refined / last-iteration inputs
+    order_original: jnp.ndarray  # (B, n) channel-iteration inputs
+    order_labels: jnp.ndarray  # (B, n) int8 transmitted bits
+    m_matrix: jnp.ndarray  # (B, m, k)
+    swap_len: jnp.ndarray  # (B,)
+    lrb_ranks: jnp.ndarray  # (B, n-k)
+    hard_original: jnp.ndarray  # (B, n) 0/1 from original channel
+    hard_updated: jnp.ndarray  # (B, n) 0/1 from updated metric
+    mag_original: jnp.ndarray  # (B, n) |original|
+    truth_discrepancy: jnp.ndarray  # (B,) weighted dist of label vs hard_original
+
+
+def prepare(updated, original, labels, h, k: int) -> PreparedBatch:
+    """Sort by |updated| ascending, run GE, apply the final index order.
+
+    Mirrors ``check_matrix_reorder`` + ``identify_mrb`` + the gathers in
+    ``sliding_osd`` (``ordered_statistics_decoding.py:169-185``)."""
+    perm, h_p = gf2ops.reliability_sort(updated, h)
+    mrb_info = gf2ops.identify_mrb(h_p, k)
+    index_order = mrb_info["index_order"]
+    # compose: final position -> original position
+    full_perm = jnp.take_along_axis(perm, index_order, axis=1)
+    gather = lambda x: jnp.take_along_axis(x, full_perm, axis=1)
+    order_updated = gather(updated)
+    order_original = gather(original)
+    order_labels = gather(labels.astype(jnp.int8))
+    hard_original = (order_original <= 0).astype(jnp.int8)
+    hard_updated = (order_updated <= 0).astype(jnp.int8)
+    mag_original = jnp.abs(order_original)
+    truth = jnp.sum(
+        ((order_labels ^ hard_original).astype(jnp.float32)) * mag_original, axis=1
+    )
+    return PreparedBatch(
+        order_updated=order_updated,
+        order_original=order_original,
+        order_labels=order_labels,
+        m_matrix=mrb_info["m_matrix"],
+        swap_len=mrb_info["swap_len"],
+        lrb_ranks=mrb_info["lrb_ranks"],
+        hard_original=hard_original,
+        hard_updated=hard_updated,
+        mag_original=mag_original,
+        truth_discrepancy=truth,
+    )
+
+
+def _discrepancy_terms(prep: PreparedBatch, k: int):
+    """Constants/vectors of the affine TEP-discrepancy map (see module doc)."""
+    n = prep.hard_original.shape[1]
+    m = n - k
+    h_l = prep.hard_original[:, :m].astype(jnp.float32)
+    h_m = prep.hard_original[:, m:].astype(jnp.float32)
+    w_l = prep.mag_original[:, :m]
+    w_m = prep.mag_original[:, m:]
+    base_mrb = prep.hard_updated[:, m:].astype(jnp.float32)  # (B, k)
+    # v = M @ base_mrb (the base LRB estimate), e = v ^ h_l
+    v = gf2ops.mod2_matmul(prep.m_matrix.astype(jnp.float32), base_mrb[..., None])[
+        ..., 0
+    ].astype(jnp.float32)
+    e = v + h_l - 2.0 * v * h_l
+    f = base_mrb + h_m - 2.0 * base_mrb * h_m  # (tep=0 mrb xor) vs original
+    c0 = jnp.sum(w_l * e, axis=1) + jnp.sum(w_m * f, axis=1)  # (B,)
+    u_l = w_l * (1.0 - 2.0 * e)  # (B, m)
+    u_m = w_m * (1.0 - 2.0 * f)  # (B, k)
+    return c0, u_l, u_m, base_mrb
+
+
+@partial(jax.jit, static_argnames=("k",))
+def block_discrepancy_minima(prep: PreparedBatch, teps: jnp.ndarray, mask: jnp.ndarray, k: int):
+    """Per-block minima of the weighted discrepancy over all TEPs.
+
+    Args:
+      prep: prepared batch.
+      teps: (P, Nmax, k) padded TEP blocks (0/1).
+      mask: (P, Nmax) validity.
+
+    Returns:
+      minima: (B, P) min weighted discrepancy per block.
+      argmins: (B, P) int32 index of the minimizing TEP inside each block.
+    """
+    c0, u_l, u_m, _ = _discrepancy_terms(prep, k)
+    m_f32 = prep.m_matrix.astype(jnp.float32)
+
+    def block_fn(_, blk):
+        tep, valid = blk  # (Nmax, k), (Nmax,)
+        tep_f = tep.astype(jnp.float32)
+        # A[b, :, N] = mod2(M_b @ T^T): parity flips the TEP induces on LRB
+        prods = jnp.einsum(
+            "bmk,nk->bmn", m_f32, tep_f, preferred_element_type=jnp.float32
+        )
+        a = prods - 2.0 * jnp.floor(prods * 0.5)
+        disc = (
+            c0[:, None]
+            + jnp.einsum("bm,bmn->bn", u_l, a)
+            + u_m @ tep_f.T
+        )
+        disc = jnp.where(valid[None, :], disc, _BIG)
+        return None, (jnp.min(disc, axis=1), jnp.argmin(disc, axis=1).astype(jnp.int32))
+
+    _, (minima, argmins) = jax.lax.scan(block_fn, None, (teps, mask))
+    return jnp.transpose(minima), jnp.transpose(argmins)
+
+
+def stopper_apply(fcn_params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Sliding-window stopper FCN: Dense(w+1 linear) -> Dense(2 softmax),
+    no biases (``nn_net.py:136-148``)."""
+    hidden = x @ fcn_params["w1"]
+    return jax.nn.softmax(hidden @ fcn_params["w2"], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("window", "soft_margin"))
+def sliding_walk(
+    block_minima: jnp.ndarray,
+    fcn_params: dict,
+    window: int = 5,
+    soft_margin: float = 0.9,
+):
+    """Replay the serial sliding-window walk for all frames in parallel.
+
+    Semantics of ``sliding_osd``'s loop (``:191-219``): the window holds the
+    last ``window`` block minima; at step kk (0-based), if kk > 0 and the new
+    block's minimum exceeds the current global minimum the stopper is skipped;
+    otherwise the sorted window + position index feeds the FCN and decoding
+    stops when P[stop] > soft_margin.  Returns for every frame:
+
+      stop_k: (B,) index kk at which the walk stopped (or last step),
+      deep_limit: (B,) number of blocks actually expanded (kk + window),
+      global_min: (B,) the running minimum at the stop point (min over the
+        first ``deep_limit`` blocks that passed through evaluated windows —
+        exactly the serial variable's final value),
+      windows_evaluated: (B,) count of FCN evaluations (reference's
+        ``window_num`` bookkeeping is deep_limit - window + 1; both returned).
+    """
+    batch, num_blocks = block_minima.shape
+    steps = num_blocks - window + 1
+    pos = jnp.arange(batch)
+
+    init_window = block_minima[:, :window]  # (B, window)
+    init_global = jnp.min(init_window, axis=1)
+
+    def step_fn(carry, kk):
+        win, gmin, stopped, stop_k, evals = carry
+        new_block = block_minima[:, window - 1 + kk]  # only valid for kk>0 path
+        win_shifted = jnp.concatenate([win[:, 1:], new_block[:, None]], axis=1)
+        win_cur = jnp.where(kk == 0, win, win_shifted)
+        skip = jnp.logical_and(kk > 0, new_block > gmin)
+        sorted_win = jnp.sort(win_cur, axis=1)
+        feats = jnp.concatenate(
+            [sorted_win, jnp.full((batch, 1), 1.0) * kk.astype(jnp.float32)], axis=1
+        )
+        probs = stopper_apply(fcn_params, feats)
+        fire = probs[:, 1] > soft_margin
+        evaluate = jnp.logical_and(jnp.logical_not(stopped), jnp.logical_not(skip))
+        new_gmin = jnp.where(evaluate, jnp.minimum(gmin, jnp.min(win_cur, axis=1)), gmin)
+        newly_stopped = jnp.logical_and(evaluate, fire)
+        stop_k = jnp.where(jnp.logical_and(newly_stopped, stop_k < 0), kk, stop_k)
+        # the serial loop's deep_limit advances even on skipped steps
+        advance = jnp.logical_not(stopped)
+        evals = evals + evaluate.astype(jnp.int32)
+        stopped = jnp.logical_or(stopped, newly_stopped)
+        return (jnp.where(advance[:, None], win_cur, win), new_gmin, stopped, stop_k, evals), advance
+
+    carry0 = (
+        init_window,
+        init_global,
+        jnp.zeros(batch, bool),
+        jnp.full(batch, -1, jnp.int32),
+        jnp.zeros(batch, jnp.int32),
+    )
+    (win, gmin, stopped, stop_k, evals), advanced = jax.lax.scan(
+        step_fn, carry0, jnp.arange(steps)
+    )
+    # frames that never fired walk to the last step
+    last_k = jnp.sum(advanced.astype(jnp.int32), axis=0) - 1
+    stop_k = jnp.where(stop_k >= 0, stop_k, last_k.astype(jnp.int32))
+    deep_limit = stop_k + window
+    del pos
+    return {
+        "stop_k": stop_k,
+        "deep_limit": deep_limit,
+        "global_min": gmin,
+        "windows_evaluated": evals,
+        "window_num": stop_k + 1,
+    }
+
+
+def sliding_osd(
+    prep: PreparedBatch,
+    teps: jnp.ndarray,
+    mask: jnp.ndarray,
+    acc_block_sizes: np.ndarray,
+    fcn_params: dict,
+    k: int,
+    window: int = 5,
+    soft_margin: float = 0.9,
+    rel_tol: float = 1e-5,
+):
+    """Full batched DL-OSD evaluation of one failure batch.
+
+    Returns per-frame success flags (the reference's oracle proxy
+    ``global_min == truth_discrepancy``, here with a relative tolerance since
+    the two sums are computed by different — but mathematically equal —
+    reductions), TEP-complexity and window counts.
+    """
+    minima, _ = block_discrepancy_minima(prep, teps, mask, k)
+    walk = sliding_walk(minima, fcn_params, window=window, soft_margin=soft_margin)
+    acc = jnp.asarray(acc_block_sizes, jnp.int32)
+    complexity = acc[walk["deep_limit"]]
+    scale = jnp.maximum(prep.truth_discrepancy, 1.0)
+    success = jnp.abs(walk["global_min"] - prep.truth_discrepancy) <= rel_tol * scale
+    return {
+        "success": success,
+        "complexity": complexity,
+        "window_num": walk["window_num"],
+        "windows_evaluated": walk["windows_evaluated"],
+        "global_min": walk["global_min"],
+        "deep_limit": walk["deep_limit"],
+        "block_minima": minima,
+    }

@@ -1,0 +1,139 @@
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from short_ldpc_decoding_osd_tpu.codes import get_code
+from short_ldpc_decoding_osd_tpu.osd import engine, path, segments
+
+import golden_osd
+
+
+@pytest.fixture(scope="module")
+def code():
+    return get_code("ccsds_128_64")
+
+
+def test_segment_sizes_k64():
+    sizes = segments.segment_sizes(64)
+    assert sizes.tolist() == [1, 4, 8, 12, 16, 23]
+    assert segments.segment_boundaries(64).tolist() == [0, 1, 5, 13, 25, 41, 64]
+
+
+def test_tep_block_counts():
+    sizes = segments.segment_sizes(64)
+    ranges = segments.ranges_from_boundaries(segments.segment_boundaries(64))
+    for pattern in ([0, 0, 0, 0, 0, 0], [1, 0, 1, 0, 0, 1], [0, 2, 0, 1, 0, 0]):
+        block = segments.expand_pattern(pattern, ranges, 64)
+        expect = int(
+            np.prod([math.comb(int(s), int(w)) for s, w in zip(sizes, pattern)])
+        )
+        assert block.shape == (expect, 64)
+        # every row has exactly the per-segment weights requested
+        b = segments.segment_boundaries(64)
+        for s, w in enumerate(pattern):
+            assert (block[:, b[s] : b[s + 1]].sum(axis=1) == w).all()
+        # all rows distinct
+        assert len({r.tobytes() for r in block}) == expect
+
+
+def _failure_like_batch(code, batch, seed):
+    """LLR pairs that look like decoder failures (some low-reliability bits)."""
+    rng = np.random.default_rng(seed)
+    words = code.encode(rng.integers(0, 2, (batch, code.k)))
+    noise = rng.normal(0, 1.0, (batch, code.n))
+    original = np.where(words == 0, 1.0, -1.0) * 0.9 + noise
+    updated = original * 2.2 + rng.normal(0, 0.7, (batch, code.n))
+    return (
+        updated.astype(np.float32),
+        original.astype(np.float32),
+        words.astype(np.int32),
+    )
+
+
+def test_block_minima_match_golden(code):
+    updated, original, words = _failure_like_batch(code, 5, 11)
+    decoding_path = [[0, 0, 0, 0, 0, 0], [1, 0, 0, 0, 0, 0], [0, 1, 0, 0, 0, 0],
+                     [1, 1, 0, 0, 0, 0], [0, 0, 1, 0, 0, 0], [0, 2, 0, 0, 0, 0],
+                     [0, 0, 0, 1, 0, 0]]
+    blocks, acc = segments.build_tep_blocks(decoding_path, code.k)
+    teps, mask = segments.stack_padded_blocks(blocks)
+    prep = engine.prepare(
+        jnp.asarray(updated),
+        jnp.asarray(original),
+        jnp.asarray(words),
+        jnp.asarray(code.h),
+        code.k,
+    )
+    minima, _ = engine.block_discrepancy_minima(
+        prep, jnp.asarray(teps), jnp.asarray(mask), code.k
+    )
+    for i in range(updated.shape[0]):
+        m_mat, hard_o, hard_u, mag, truth = golden_osd.prepare_frame(
+            updated[i], original[i], words[i], code.h, code.k
+        )
+        want = golden_osd.block_minima_frame(m_mat, hard_o, hard_u, mag, blocks, code.k)
+        np.testing.assert_allclose(np.asarray(minima[i]), want, rtol=2e-5, atol=2e-4)
+        assert float(prep.truth_discrepancy[i]) == pytest.approx(truth, rel=1e-5)
+
+
+def test_sliding_walk_matches_serial(code):
+    rng = np.random.default_rng(5)
+    num_blocks = 12
+    minima = rng.uniform(1.0, 8.0, size=(16, num_blocks)).astype(np.float32)
+    # make some frames have an obvious early min so the stopper can fire
+    minima[::3, 1] = 0.2
+    w1 = rng.normal(0, 0.6, (6, 6)).astype(np.float32)
+    w2 = rng.normal(0, 0.6, (6, 2)).astype(np.float32)
+    out = engine.sliding_walk(
+        jnp.asarray(minima), {"w1": jnp.asarray(w1), "w2": jnp.asarray(w2)},
+        window=5, soft_margin=0.6,
+    )
+    for i in range(minima.shape[0]):
+        ref = golden_osd.serial_walk(list(minima[i]), w1, w2, 5, 0.6)
+        assert float(out["global_min"][i]) == pytest.approx(ref["global_min"], rel=1e-6), i
+        assert int(out["deep_limit"][i]) == ref["deep_limit"], i
+        assert int(out["window_num"][i]) == ref["window_num"], i
+        assert int(out["windows_evaluated"][i]) == ref["evals"], i
+
+
+def test_full_sliding_osd_runs(code):
+    updated, original, words = _failure_like_batch(code, 8, 21)
+    decoding_path = [[0] * 6, [1, 0, 0, 0, 0, 0], [0, 1, 0, 0, 0, 0],
+                     [0, 0, 1, 0, 0, 0], [1, 1, 0, 0, 0, 0], [0, 0, 0, 1, 0, 0],
+                     [0, 2, 0, 0, 0, 0], [1, 0, 1, 0, 0, 0]]
+    blocks, acc = segments.build_tep_blocks(decoding_path, code.k)
+    teps, mask = segments.stack_padded_blocks(blocks)
+    prep = engine.prepare(
+        jnp.asarray(updated), jnp.asarray(original), jnp.asarray(words),
+        jnp.asarray(code.h), code.k,
+    )
+    rng = np.random.default_rng(0)
+    fcn = {
+        "w1": jnp.asarray(rng.normal(0, 0.4, (6, 6)), jnp.float32),
+        "w2": jnp.asarray(rng.normal(0, 0.4, (6, 2)), jnp.float32),
+    }
+    out = engine.sliding_osd(prep, jnp.asarray(teps), jnp.asarray(mask), acc, fcn, code.k)
+    assert out["success"].shape == (8,)
+    assert (np.asarray(out["complexity"]) >= 1).all()
+    assert (np.asarray(out["deep_limit"]) <= len(blocks)).all()
+
+
+def test_pattern_counter_path():
+    pc = path.PatternCounter(64)
+    pc.update(np.asarray([[0, 1, 0, 0, 0, 0]] * 10 + [[0, 0, 0, 0, 0, 1]] * 12))
+    # [0,...,1] has block size C(23,1)=23 -> ratio 12/23; [0,1,...] C(4,1)=4 -> 10/4
+    ranked = pc.decoding_path(threshold_sum=3, decoding_length=10)
+    assert ranked[0] == [0, 1, 0, 0, 0, 0]
+    assert ranked[1] == [0, 0, 0, 0, 0, 1]
+
+
+def test_mrb_patterns_zero_for_clean_frames(code):
+    rng = np.random.default_rng(3)
+    words = code.encode(rng.integers(0, 2, (6, code.k)))
+    clean = np.where(words == 0, 4.0, -4.0).astype(np.float32)
+    patterns, swap_len = path.mrb_error_patterns(
+        jnp.asarray(clean), jnp.asarray(words), jnp.asarray(code.h), code.k
+    )
+    assert not np.asarray(patterns).any()
