@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Headline benchmark: NMS-decoded codewords/s on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "codewords/s", "vs_baseline": N}
+
+The baseline divisor is a single-process vectorized-numpy implementation of
+the same dense NMS decode measured on this host's CPU — a *generous* stand-in
+for the reference's eager TF2/Keras CPU pipeline (BASELINE.md: the reference
+publishes no numbers and TF is not installed here; vectorized numpy is
+strictly faster than the reference's per-batch eager graph, so vs_baseline is
+a lower bound on the true speedup).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", 16384))
+ITERS = int(os.environ.get("BENCH_ITERS", 12))
+SNR_DB = float(os.environ.get("BENCH_SNR", 3.0))
+STEPS = int(os.environ.get("BENCH_STEPS", 8))
+CPU_BATCH = int(os.environ.get("BENCH_CPU_BATCH", 256))
+CPU_REPS = int(os.environ.get("BENCH_CPU_REPS", 2))
+
+
+def numpy_nms_throughput(code, w_chk: float) -> float:
+    """Single-process vectorized numpy dense NMS decode, codewords/s."""
+    rng = np.random.default_rng(0)
+    h = code.h.astype(np.float32)
+    m, n = h.shape
+    sigma = np.sqrt(1.0 / (2.0 * code.rate * 10 ** (SNR_DB / 10.0)))
+    llr = (1.0 + sigma * rng.standard_normal((CPU_BATCH, n))).astype(np.float32)
+    nonedge = (1.0 - h)[None]
+
+    def decode(llr):
+        cv = np.zeros((llr.shape[0], m, n), np.float32)
+        for _ in range(ITERS):
+            total = cv.sum(axis=1) + llr
+            vc = total[:, None, :] * h - cv
+            sign = np.sign(vc + nonedge)
+            row_sign = np.prod(sign, axis=-1, keepdims=True)
+            edge_sign = row_sign * h * sign
+            mag = np.abs(vc)
+            masked = np.where(h > 0, mag, np.inf)
+            part = np.partition(masked, 1, axis=-1)
+            min1 = part[..., 0:1]
+            min2 = part[..., 1:2]
+            emag = np.where(mag > min1, min1, min2) * h
+            cv = w_chk * emag * edge_sign
+        soft = cv.sum(axis=1) + llr
+        hard = soft < 0
+        synd = (hard @ h.T) % 2
+        return synd.any(axis=1)
+
+    decode(llr[:8])  # warm numpy caches
+    t0 = time.perf_counter()
+    for _ in range(CPU_REPS):
+        decode(llr)
+    dt = time.perf_counter() - t0
+    return CPU_REPS * CPU_BATCH / dt
+
+
+def tpu_nms_throughput(code) -> tuple[float, dict]:
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    from short_ldpc_decoding_osd_tpu.channel import ChannelSpec
+    from short_ldpc_decoding_osd_tpu.mc.harness import build_nms_mc_step
+    from short_ldpc_decoding_osd_tpu.ops import nms
+
+    spec = ChannelSpec.awgn(SNR_DB, code.rate)
+    params = nms.init_params("NMS-1")
+    step = build_nms_mc_step(code, "NMS-1", ITERS, spec, BATCH)
+    key = jax.random.PRNGKey(0)
+    counters, _ = step(params, key)  # compile + warmup
+    jax.block_until_ready(counters)
+    t0 = time.perf_counter()
+    total_err = 0
+    for i in range(STEPS):
+        counters, _ = step(params, jax.random.fold_in(key, i))
+    counters = jax.block_until_ready(counters)
+    dt = time.perf_counter() - t0
+    info = {
+        "device": str(jax.devices()[0]),
+        "batch": BATCH,
+        "iters": ITERS,
+        "snr_db": SNR_DB,
+        "sample_fer": float(np.asarray(counters)[1]) / BATCH,
+    }
+    del total_err
+    return STEPS * BATCH / dt, info
+
+
+def main():
+    from short_ldpc_decoding_osd_tpu.codes import get_code
+
+    code = get_code("ccsds_128_64")
+    tpu_rate, info = tpu_nms_throughput(code)
+    w_chk = float(np.log1p(np.exp(-0.048)))
+    cpu_rate = numpy_nms_throughput(code, w_chk)
+    result = {
+        "metric": "nms_decoded_codewords_per_s_1chip",
+        "value": round(tpu_rate, 1),
+        "unit": "codewords/s",
+        "vs_baseline": round(tpu_rate / cpu_rate, 2),
+        "baseline_cpu_codewords_per_s": round(cpu_rate, 1),
+        **info,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

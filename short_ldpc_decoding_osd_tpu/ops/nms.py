@@ -97,6 +97,22 @@ def _weights(params: dict, variant: str):
     raise ValueError(variant)
 
 
+def _row_sign_parity(vc: jnp.ndarray, h: jnp.ndarray):
+    """(row_sign, edge_sign): product of edge signs per row via negative-count
+    parity instead of ``sign``+``prod`` (the latter SIGSEGVs the Mosaic TPU
+    compiler in this toolchain; parity is also cheaper).  Zero-valued edges
+    zero the whole row product, matching ``tf.sign`` semantics."""
+    edge = h > 0
+    neg = jnp.logical_and(vc < 0.0, edge)
+    negcount = jnp.sum(neg.astype(jnp.float32), axis=-1, keepdims=True)
+    parity = negcount - 2.0 * jnp.floor(negcount * 0.5)
+    anyzero = jnp.any(jnp.logical_and(vc == 0.0, edge), axis=-1, keepdims=True)
+    row_sign = jnp.where(anyzero, 0.0, 1.0 - 2.0 * parity)
+    own = jnp.where(vc > 0.0, 1.0, jnp.where(vc < 0.0, -1.0, 0.0))
+    # own^2 == 1 on nonzero edges, so row_sign * own = product of the others
+    return row_sign, row_sign * own * h
+
+
 def _check_update_minsum(vc: jnp.ndarray, h: jnp.ndarray, w_chk) -> jnp.ndarray:
     """Min-sum check-node update with normalization on a dense masked tensor.
 
@@ -104,9 +120,7 @@ def _check_update_minsum(vc: jnp.ndarray, h: jnp.ndarray, w_chk) -> jnp.ndarray:
     magnitude sent on each edge is the row minimum over the *other* edges
     (min for non-argmin edges, submin for the argmin edge); the sign is the
     product of the other edges' signs, excluded from gradients."""
-    sign_full = jnp.sign(vc + (1.0 - h))  # non-edges contribute +1
-    row_sign = jnp.prod(sign_full, axis=-1, keepdims=True)
-    edge_sign = row_sign * h * sign_full  # product of the *other* signs
+    _, edge_sign = _row_sign_parity(vc, h)
 
     mag = jnp.clip(jnp.abs(vc), 0.0, _CLIP)
     masked = jnp.where(h > 0, mag, jnp.inf)
@@ -127,9 +141,7 @@ def _check_update_neural(
     For each edge, the magnitudes of the other dc-1 edges of its check row are
     sorted ascending and passed through a non-negative 2-layer linear NN."""
     m, dc = edge_cols.shape
-    sign_full = jnp.sign(vc + (1.0 - h))
-    row_sign = jnp.prod(sign_full, axis=-1, keepdims=True)
-    edge_sign = row_sign * h * sign_full
+    _, edge_sign = _row_sign_parity(vc, h)
 
     compact = jnp.abs(jnp.take_along_axis(vc, edge_cols[None], axis=-1))  # [B,m,dc]
     loo_idx = np.stack(
