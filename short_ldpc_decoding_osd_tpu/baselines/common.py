@@ -113,11 +113,6 @@ def tep_distances(terms: dict, teps: jnp.ndarray, p_matrix: jnp.ndarray):
         preferred_element_type=jnp.float32,
     )  # (B, N, n-k) = e @ P
     a = prods - 2.0 * jnp.floor(prods * 0.5)
-    wd = (
-        terms["c_w"][:, None]
-        + tep_f @ terms["uw_m"].T.astype(jnp.float32)  # (N,k)@(k,B) -> transpose
-    )
-    # note: compute as (B,N): u (B,k) @ tep^T (k,N)
     wd = terms["c_w"][:, None] + terms["uw_m"] @ tep_f.T + jnp.einsum(
         "bl,bnl->bn", terms["uw_l"], a
     )

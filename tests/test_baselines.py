@@ -1,0 +1,124 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from short_ldpc_decoding_osd_tpu.baselines import common, conventional, fs_osd, pb_osd
+from short_ldpc_decoding_osd_tpu.codes import get_code, make_regular_ldpc
+
+import golden_baselines as gb
+
+
+@pytest.fixture(scope="module")
+def small_code():
+    return make_regular_ldpc(48, 24, row_weight=6, seed=9)
+
+
+def _noisy_batch(code, batch, snr_db, seed):
+    rng = np.random.default_rng(seed)
+    words = code.encode(rng.integers(0, 2, (batch, code.k)))
+    sigma = np.sqrt(1.0 / (2 * code.rate * 10 ** (snr_db / 10)))
+    rx = 1.0 + sigma * rng.standard_normal((batch, code.n))
+    llr = np.where(words == 0, rx, -rx).astype(np.float32)
+    return llr, words.astype(np.int32)
+
+
+def test_prepare_g_domain_matches_host(small_code):
+    code = small_code
+    llr, words = _noisy_batch(code, 6, 2.0, 0)
+    prep = common.prepare_g_domain(
+        jnp.asarray(llr), jnp.asarray(words), jnp.asarray(code.g), code.k
+    )
+    for i in range(6):
+        in_ref, lab_ref, p_ref = gb.host_prepare_g(llr[i], words[i], code.g, code.k)
+        np.testing.assert_allclose(np.asarray(prep["inputs"][i]), in_ref, rtol=1e-6)
+        assert np.array_equal(np.asarray(prep["labels"][i]), lab_ref)
+        assert np.array_equal(np.asarray(prep["p_matrix"][i]), p_ref)
+        # prepared G-domain consistency: label mrb re-encodes to label lrb
+        lab_mrb = lab_ref[: code.k]
+        assert np.array_equal((lab_mrb @ p_ref) % 2, lab_ref[code.k :])
+
+
+def test_tep_distances_affine_map(small_code):
+    code = small_code
+    llr, words = _noisy_batch(code, 4, 2.0, 1)
+    prep = common.prepare_g_domain(
+        jnp.asarray(llr), jnp.asarray(words), jnp.asarray(code.g), code.k
+    )
+    terms = common.candidate_distance_terms(prep, code.k)
+    teps = pb_osd.weight_limited_teps(code.k, 2)[:40]
+    wd, hd, _ = common.tep_distances(terms, jnp.asarray(teps), prep["p_matrix"])
+    for i in range(4):
+        in_ref, _, p_ref = gb.host_prepare_g(llr[i], words[i], code.g, code.k)
+        hard = np.where(in_ref > 0, 0, 1)
+        mag = np.abs(in_ref)
+        mrb0 = hard[: code.k]
+        for t in range(0, 40, 7):
+            wd_ref, hd_ref, _ = gb._dist(
+                teps[t].astype(int), mrb0, None, p_ref, hard, mag
+            )
+            assert float(wd[i, t]) == pytest.approx(wd_ref, rel=1e-4), (i, t)
+            assert float(hd[i, t]) == pytest.approx(hd_ref, abs=0.5), (i, t)
+
+
+def test_fs_osd_matches_golden(small_code):
+    code = small_code
+    llr, words = _noisy_batch(code, 24, 1.5, 2)
+    order_limit, beta, tau_psc = 2, 0.1, 10
+    tau_e = 2.0  # (d_min unknown for the random code; any threshold works)
+    out = fs_osd.fs_osd(
+        jnp.asarray(llr), jnp.asarray(words), code.g, code.k,
+        order_limit=order_limit, beta=beta, d_min=int(2 * tau_e + 1),
+        tau_psc=tau_psc, chunk=128,
+    )
+    teps, starts = fs_osd.sequential_tep_matrix(code.k, order_limit)
+    for i in range(24):
+        in_ref, lab_ref, p_ref = gb.host_prepare_g(llr[i], words[i], code.g, code.k)
+        ok_ref, num_ref = gb.fs_golden(
+            in_ref, lab_ref, p_ref, code.k, teps, starts, order_limit,
+            beta, tau_e, tau_psc,
+        )
+        assert bool(out["success"][i]) == bool(ok_ref), i
+        assert int(out["num_teps"][i]) == num_ref, i
+
+
+def test_pb_osd_matches_golden(small_code):
+    code = small_code
+    llr, words = _noisy_batch(code, 16, 1.5, 3)
+    order_limit = 2
+    out = pb_osd.pb_osd(
+        jnp.asarray(llr), jnp.asarray(words), code.g, code.k,
+        snr_db=1.5, order_limit=order_limit, chunk=128,
+    )
+    teps = pb_osd.weight_limited_teps(code.k, order_limit)
+    for i in range(16):
+        in_ref, lab_ref, p_ref = gb.host_prepare_g(llr[i], words[i], code.g, code.k)
+        ok_ref, cost_ref = gb.pb_golden(
+            in_ref, lab_ref, p_ref, code.k, teps, 1.5, order_limit
+        )
+        assert bool(out["success"][i]) == bool(ok_ref), i
+        assert int(out["num_teps"][i]) == cost_ref, i
+
+
+def test_conventional_osd_order1_perfect_on_single_error():
+    code = get_code("ccsds_128_64")
+    rng = np.random.default_rng(4)
+    words = code.encode(rng.integers(0, 2, (8, code.k)))
+    llr = np.where(words == 0, 2.0, -2.0).astype(np.float32)
+    llr += rng.normal(0, 0.05, llr.shape).astype(np.float32)
+    out = conventional.conventional_osd(
+        jnp.asarray(llr), jnp.asarray(words), code.g, code.k, order_limit=1
+    )
+    assert np.asarray(out["success"]).all()
+    assert (np.asarray(out["phase"]) == 0).all()  # zero-TEP wins on clean frames
+
+
+def test_miracle_view_counts(small_code):
+    code = small_code
+    llr, words = _noisy_batch(code, 64, 3.0, 5)
+    counter = conventional.miracle_view(
+        jnp.asarray(llr), jnp.asarray(words), code.g, code.k
+    )
+    assert sum(counter.values()) == 64
+    floor0 = conventional.miracle_fer_floor(counter, 0)
+    floor2 = conventional.miracle_fer_floor(counter, 2)
+    assert 0.0 <= floor2 <= floor0 <= 1.0
