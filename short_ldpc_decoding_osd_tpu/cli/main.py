@@ -1,0 +1,262 @@
+"""One CLI replacing the reference's per-stage ``Main_*.py`` scripts with
+hard-coded ``sys.argv`` (SURVEY.md §5 config row).
+
+Subcommands:
+  train-nms     stage 1+2: train an NMS variant
+  eval-nms      stage 4+5: Monte-Carlo FER at SNR points (+failure capture)
+  train-dia     stage 3a: DIA refiner + decoding path
+  train-stopper stage 3b: sliding-window stopper
+  sweep         stages 1-7 end-to-end (two-phase FER curve)
+  baseline      FS-OSD / PB-OSD / conventional OSD / miracle view
+  bench         one-chip throughput microbenchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--code", default="ccsds_128_64")
+    p.add_argument("--variant", default="NMS-1")
+    p.add_argument("--iterations", type=int, default=12)
+    p.add_argument("--run-dir", default="./runs/default")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="sldpc", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train-nms", help="train the NMS decoder")
+    _add_common(p)
+    p.add_argument("--snr", type=float, default=2.7)
+    p.add_argument("--snr-hi", type=float, default=None)
+    p.add_argument("--steps", type=int, default=1200)
+    p.add_argument("--batch", type=int, default=100)
+
+    p = sub.add_parser("eval-nms", help="Monte-Carlo NMS FER at SNR points")
+    _add_common(p)
+    p.add_argument("--snrs", default="2.0:3.0:6")
+    p.add_argument("--batch", type=int, default=4096)
+    p.add_argument("--error-budget", type=int, default=40000)
+    p.add_argument("--max-frames", type=int, default=10**8)
+
+    p = sub.add_parser("sweep", help="full two-phase pipeline + FER curve")
+    _add_common(p)
+    p.add_argument("--snrs", default="2.0:3.0:6")
+    p.add_argument("--training-snr", type=float, default=2.7)
+    p.add_argument("--dia-model", default="model_cnn")
+    p.add_argument("--osd-budget", type=int, default=500)
+    p.add_argument("--nms-budget", type=int, default=40000)
+    p.add_argument("--train-failures", type=int, default=20000)
+    p.add_argument("--max-frames", type=int, default=10**8)
+
+    p = sub.add_parser("baseline", help="run an OSD baseline on NMS failures")
+    _add_common(p)
+    p.add_argument("--kind", choices=["fs", "pb", "conventional", "miracle"],
+                   required=True)
+    p.add_argument("--snrs", default="2.0:3.0:6")
+    p.add_argument("--order", type=int, default=3)
+    p.add_argument("--beta", type=float, default=0.1)
+    p.add_argument("--d-min", type=int, default=14)
+    p.add_argument("--tau-psc", type=int, default=30)
+    p.add_argument("--failure-budget", type=int, default=100)
+    p.add_argument("--batch", type=int, default=4096)
+
+    p = sub.add_parser("bench", help="one-chip NMS throughput")
+    _add_common(p)
+    p.add_argument("--batch", type=int, default=16384)
+    p.add_argument("--snr", type=float, default=3.0)
+
+    args = ap.parse_args(argv)
+    return _dispatch(args)
+
+
+def _parse_snrs(spec: str):
+    lo, hi, num = spec.split(":")
+    return np.linspace(float(lo), float(hi), int(num))
+
+
+def _dispatch(args):
+    from ..codes import get_code
+    from ..pipeline.recipe import RecipeConfig, RunDir, run_recipe, stage_train_nms
+
+    if args.cmd == "train-nms":
+        from ..train import NMSTrainConfig, train_nms
+
+        code = get_code(args.code)
+        cfg = NMSTrainConfig(
+            variant=args.variant,
+            num_iterations=args.iterations,
+            snr_lo=args.snr,
+            snr_hi=args.snr_hi if args.snr_hi is not None else args.snr,
+            batch=args.batch,
+            termination_step=args.steps,
+            seed=args.seed,
+        )
+        run = RunDir(args.run_dir)
+        params, summary = train_nms(
+            code, cfg, ckpt_dir=run.path("ckpt_nms"),
+            log_fn=lambda r: print(
+                f"step {r['step']} loss {r['loss']:.2f} fer {r['fer']:.4f}"
+            ),
+        )
+        run.save_pickle("nms_params.pkl", params)
+        print(json.dumps(summary["params"]))
+        return 0
+
+    if args.cmd == "eval-nms":
+        from ..mc import run_nms_mc
+        from ..ops import nms as nms_ops
+
+        code = get_code(args.code)
+        run = RunDir(args.run_dir)
+        if run.has("nms_params.pkl"):
+            params = run.load_pickle("nms_params.pkl")
+        else:
+            print("no trained params in run dir; using init factor 0.67")
+            params = nms_ops.init_params(args.variant, code.h)
+        points = []
+        for snr in _parse_snrs(args.snrs):
+            stats, _ = run_nms_mc(
+                code, params, args.variant, args.iterations, float(snr),
+                batch=args.batch, error_budget=args.error_budget,
+                max_frames=args.max_frames, seed=args.seed,
+            )
+            lo, hi = stats.fer_confidence()
+            point = {"snr_db": float(snr), **stats.to_dict(), "fer_ci": [lo, hi]}
+            points.append(point)
+            print(json.dumps(point))
+        run.save_json("nms_fer.json", {"points": points})
+        return 0
+
+    if args.cmd == "sweep":
+        cfg = RecipeConfig(
+            code_name=args.code,
+            variant=args.variant,
+            num_iterations=args.iterations,
+            training_snr=args.training_snr,
+            dia_model=args.dia_model,
+            nms_error_budget=args.nms_budget,
+            osd_failure_budget=args.osd_budget,
+            train_failure_target=args.train_failures,
+            max_frames_per_snr=args.max_frames,
+            seed=args.seed,
+        )
+        curve = run_recipe(cfg, args.run_dir, _parse_snrs(args.snrs))
+        print(json.dumps(curve["points"][-1]))
+        return 0
+
+    if args.cmd == "baseline":
+        return _run_baseline(args)
+
+    if args.cmd == "bench":
+        import os
+
+        os.environ["BENCH_BATCH"] = str(args.batch)
+        os.environ["BENCH_SNR"] = str(args.snr)
+        import importlib.util
+        import pathlib
+
+        bench_path = pathlib.Path(__file__).resolve().parents[2] / "bench.py"
+        spec = importlib.util.spec_from_file_location("bench", bench_path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
+        return 0
+    raise SystemExit(f"unknown command {args.cmd}")
+
+
+def _run_baseline(args):
+    """NMS failures -> one of the G-domain baselines, per SNR point."""
+    import jax.numpy as jnp
+
+    from ..baselines import conventional, fs_osd, pb_osd
+    from ..codes import get_code
+    from ..mc import run_nms_mc
+    from ..ops import nms as nms_ops
+    from ..pipeline.recipe import RunDir
+
+    code = get_code(args.code)
+    run = RunDir(args.run_dir)
+    params = (
+        run.load_pickle("nms_params.pkl")
+        if run.has("nms_params.pkl")
+        else nms_ops.init_params(args.variant, code.h)
+    )
+    results = []
+    for snr in _parse_snrs(args.snrs):
+        stats, fb = run_nms_mc(
+            code, params, args.variant, args.iterations, float(snr),
+            batch=args.batch, error_budget=args.failure_budget * 40,
+            max_frames=10**7, seed=args.seed, capture_failures=True,
+            capture_limit=args.failure_budget * 4,
+        )
+        traj = fb.trajectories
+        if not len(traj):
+            results.append({"snr_db": float(snr), "note": "no failures"})
+            continue
+        n_use = min(len(traj), args.failure_budget * 2)
+        llr = jnp.asarray(traj[:n_use, 0])
+        labels = jnp.asarray(fb.labels[:n_use])
+        if args.kind == "miracle":
+            counter = conventional.miracle_view(llr, labels, code.g, code.k)
+            out = {
+                "snr_db": float(snr),
+                "hist": dict(sorted(counter.items())),
+                "floor_order3": conventional.miracle_fer_floor(counter, 3),
+            }
+        elif args.kind == "conventional":
+            res = conventional.conventional_osd(
+                llr, labels, code.g, code.k, order_limit=args.order
+            )
+            succ = np.asarray(res["success"])
+            out = {
+                "snr_db": float(snr),
+                "success": int(succ.sum()),
+                "fail": int((~succ).sum()),
+                "fer_osd": float((~succ).mean()),
+                "num_teps": int(res["num_teps"]),
+            }
+        elif args.kind == "fs":
+            res = fs_osd.fs_osd(
+                llr, labels, code.g, code.k, order_limit=args.order,
+                beta=args.beta, d_min=args.d_min, tau_psc=args.tau_psc,
+            )
+            succ = np.asarray(res["success"])
+            out = {
+                "snr_db": float(snr),
+                "success": int(succ.sum()),
+                "fail": int((~succ).sum()),
+                "fer_osd": float((~succ).mean()),
+                "avg_teps": float(np.asarray(res["num_teps"]).mean()),
+            }
+        else:  # pb
+            res = pb_osd.pb_osd(
+                llr, labels, code.g, code.k, snr_db=float(snr),
+                order_limit=args.order,
+            )
+            succ = np.asarray(res["success"])
+            out = {
+                "snr_db": float(snr),
+                "success": int(succ.sum()),
+                "fail": int((~succ).sum()),
+                "fer_osd": float((~succ).mean()),
+                "avg_teps": float(np.asarray(res["num_teps"]).mean()),
+                "suc_evals": float(np.asarray(res["suc_evals"]).mean()),
+            }
+        out["fer_nms"] = stats.detected_failures / max(stats.frames, 1)
+        if "fer_osd" in out:
+            out["fer_total"] = out["fer_nms"] * out["fer_osd"]
+        results.append(out)
+        print(json.dumps(out))
+    run.save_json(f"baseline_{args.kind}.json", {"points": results})
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,300 @@
+"""The end-to-end two-phase recipe, replacing the reference's 7 stage
+directories + filesystem hand-off ('Training and Testing recipe.txt:7-18').
+
+Stages (artifacts land in a single run directory as json/npz/pickle):
+
+1+2. train the NMS decoder at the training SNR (data generated on device —
+     no TFRecord stage needed),
+3.   harvest NMS failures at the training SNR, train the DIA refiner, build
+     the ratio-normalized order-pattern decoding path, generate stopper
+     samples and train the sliding-window stopper,
+4+5. per-SNR Monte-Carlo NMS evaluation with failure capture (error-budget
+     early stop),
+6.   DIA-OSD evaluation of the captured failures per SNR,
+7.   FER_total(SNR) = FER_NMS(SNR) * FER_OSD(SNR).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import pickle
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..codes import Code, get_code
+from ..mc import harness
+from ..models import stopper_engine_params
+from ..ops import nms
+from ..osd import engine, segments
+from ..train import (
+    DIATrainConfig,
+    NMSTrainConfig,
+    StopperTrainConfig,
+    generate_stopper_samples,
+    pattern_statistics_sweep,
+    reform_windows,
+    train_dia,
+    train_nms,
+    train_stopper,
+)
+from ..utils.metrics import DecodeStats
+
+
+@dataclasses.dataclass
+class RecipeConfig:
+    code_name: str = "ccsds_128_64"
+    variant: str = "NMS-1"
+    num_iterations: int = 12
+    training_snr: float = 2.7
+    dia_model: str = "model_cnn"
+    threshold_sum: int = 3
+    decoding_length: int = 30
+    window: int = 5
+    soft_margin: float = 0.9
+    num_segments: int = 6
+    # budgets
+    nms_error_budget: int = 40_000
+    osd_failure_budget: int = 500
+    train_failure_target: int = 20_000
+    max_frames_per_snr: int = 10**8
+    eval_batch: int = 4096
+    seed: int = 0
+
+
+class RunDir:
+    """Tiny artifact store for one pipeline run."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def save_json(self, name: str, obj):
+        with open(self.path(name), "wt") as fh:
+            json.dump(obj, fh, indent=1, default=str)
+
+    def load_json(self, name: str):
+        with open(self.path(name), "rt") as fh:
+            return json.load(fh)
+
+    def save_pickle(self, name: str, obj):
+        with open(self.path(name), "wb") as fh:
+            pickle.dump(obj, fh)
+
+    def load_pickle(self, name: str):
+        with open(self.path(name), "rb") as fh:
+            return pickle.load(fh)
+
+    def has(self, name: str) -> bool:
+        return os.path.exists(self.path(name))
+
+
+def stage_train_nms(cfg: RecipeConfig, run: RunDir, log=print) -> dict:
+    code = get_code(cfg.code_name)
+    if run.has("nms_params.pkl"):
+        return run.load_pickle("nms_params.pkl")
+    t0 = time.time()
+    params, summary = train_nms(
+        code,
+        NMSTrainConfig(
+            variant=cfg.variant,
+            num_iterations=cfg.num_iterations,
+            snr_lo=cfg.training_snr,
+            snr_hi=cfg.training_snr,
+            seed=cfg.seed,
+        ),
+        ckpt_dir=run.path("ckpt_nms"),
+        log_fn=lambda r: log(f"  nms step {r['step']} loss {r['loss']:.1f} fer {r['fer']:.3f}"),
+    )
+    run.save_pickle("nms_params.pkl", params)
+    run.save_json("nms_train_summary.json", summary | {"elapsed_s": time.time() - t0})
+    return params
+
+
+def stage_harvest_failures(cfg: RecipeConfig, run: RunDir, nms_params, log=print):
+    code = get_code(cfg.code_name)
+    if run.has("train_failures.npz"):
+        blob = np.load(run.path("train_failures.npz"))
+        return harness.FailureBatch(blob["traj"], blob["labels"], int(blob["overflow"]))
+    stats, fb = harness.run_nms_mc(
+        code,
+        nms_params,
+        cfg.variant,
+        cfg.num_iterations,
+        cfg.training_snr,
+        batch=cfg.eval_batch,
+        error_budget=cfg.train_failure_target,
+        max_frames=cfg.max_frames_per_snr,
+        seed=cfg.seed + 1,
+        capture_failures=True,
+        capture_limit=cfg.train_failure_target,
+    )
+    log(
+        f"  harvested {len(fb.trajectories)} failures from {stats.frames} frames "
+        f"(FER {stats.fer:.3e})"
+    )
+    np.savez_compressed(
+        run.path("train_failures.npz"),
+        traj=fb.trajectories,
+        labels=fb.labels,
+        overflow=fb.overflow,
+    )
+    run.save_json("train_failures_meta.json", stats.to_dict())
+    return fb
+
+
+def stage_train_dia_and_path(cfg: RecipeConfig, run: RunDir, fb, log=print):
+    code = get_code(cfg.code_name)
+    model_tag = f"dia_{cfg.dia_model}"
+    if run.has(model_tag + ".pkl") and run.has("decoding_path.json"):
+        dia_params = run.load_pickle(model_tag + ".pkl")
+        from ..models import make_dia
+
+        model = make_dia(cfg.dia_model, code.n, cfg.num_iterations + 1)
+        decoding_path = run.load_json("decoding_path.json")["path"]
+        return model, dia_params, decoding_path
+    model, dia_params, _ = train_dia(
+        code,
+        fb.trajectories,
+        fb.labels,
+        DIATrainConfig(model=cfg.dia_model, seed=cfg.seed),
+        ckpt_dir=run.path("ckpt_dia"),
+        log_fn=lambda r: log(f"  dia step {r['step']} loss {r['loss']:.1f}"),
+    )
+    sweep = pattern_statistics_sweep(
+        code, model, dia_params, fb.trajectories, fb.labels,
+        num_segments=cfg.num_segments,
+    )
+    counter = sweep["pattern_counter"]
+    counter.save(run.path("pattern_counts.json"))
+    decoding_path = counter.decoding_path(cfg.threshold_sum, cfg.decoding_length)
+    if [0] * cfg.num_segments not in decoding_path:
+        decoding_path = [[0] * cfg.num_segments] + decoding_path[: cfg.decoding_length - 1]
+    run.save_json(
+        "decoding_path.json",
+        {
+            "path": decoding_path,
+            "hist_initial": dict(sweep["hist_initial"]),
+            "hist_final": dict(sweep["hist_final"]),
+            "hist_refined": dict(sweep["hist_refined"]),
+        },
+    )
+    run.save_pickle(model_tag + ".pkl", dia_params)
+    log(f"  decoding path ({len(decoding_path)} patterns): {decoding_path[:6]}...")
+    return model, dia_params, decoding_path
+
+
+def stage_train_stopper(cfg: RecipeConfig, run: RunDir, model, dia_params, fb,
+                        decoding_path, log=print):
+    code = get_code(cfg.code_name)
+    if run.has("stopper_params.pkl"):
+        return run.load_pickle("stopper_params.pkl")
+    records, summary = generate_stopper_samples(
+        code, model, dia_params, fb.trajectories, fb.labels, decoding_path,
+        num_segments=cfg.num_segments,
+    )
+    run.save_json("stopper_samples_summary.json", summary)
+    ins, labs = reform_windows(records, cfg.window)
+    _, s_params, val = train_stopper(
+        ins, labs, StopperTrainConfig(window=cfg.window, seed=cfg.seed)
+    )
+    run.save_json("stopper_validation.json", val)
+    run.save_pickle("stopper_params.pkl", s_params)
+    log(f"  stopper validation: {val}")
+    return s_params
+
+
+def stage_eval_sweep(cfg: RecipeConfig, run: RunDir, nms_params, model, dia_params,
+                     s_params, decoding_path, snrs, log=print) -> dict:
+    """Stages 4-7: per-SNR NMS eval + DIA-OSD on failures -> total FER."""
+    code = get_code(cfg.code_name)
+    blocks, acc = segments.build_tep_blocks(decoding_path, code.k, cfg.num_segments)
+    teps, mask = segments.stack_padded_blocks(blocks)
+    teps_j, mask_j = jnp.asarray(teps), jnp.asarray(mask)
+    h = jnp.asarray(code.h)
+    fcn = stopper_engine_params(s_params)
+    curve = []
+    for snr in snrs:
+        t0 = time.time()
+        stats, fb = harness.run_nms_mc(
+            code, nms_params, cfg.variant, cfg.num_iterations, float(snr),
+            batch=cfg.eval_batch,
+            error_budget=cfg.nms_error_budget,
+            max_frames=cfg.max_frames_per_snr,
+            seed=cfg.seed + int(snr * 100),
+            capture_failures=True,
+            capture_limit=max(cfg.osd_failure_budget * 4, 2000),
+        )
+        nms_time = time.time() - t0
+        # stage 6: OSD on (up to budget) captured failures
+        t1 = time.time()
+        n_osd = min(len(fb.trajectories), cfg.osd_failure_budget)
+        osd_stats = {"success": 0, "fail": 0, "complexity": 0, "windows": 0}
+        if n_osd:
+            traj = jnp.asarray(fb.trajectories[:n_osd], jnp.float32)
+            labs = jnp.asarray(fb.labels[:n_osd], jnp.int32)
+            refined = model.refine(dia_params, traj)
+            prep = engine.prepare(refined, traj[:, 0], labs, h, code.k)
+            out = engine.sliding_osd(
+                prep, teps_j, mask_j, acc, fcn, code.k,
+                window=cfg.window, soft_margin=cfg.soft_margin,
+            )
+            succ = np.asarray(out["success"])
+            osd_stats = {
+                "success": int(succ.sum()),
+                "fail": int((~succ).sum()),
+                "complexity": float(np.asarray(out["complexity"]).mean()),
+                "windows": float(np.asarray(out["window_num"]).mean()),
+            }
+        osd_time = time.time() - t1
+        fer_nms = stats.detected_failures / max(stats.frames, 1)
+        denom = osd_stats["success"] + osd_stats["fail"]
+        fer_osd = osd_stats["fail"] / denom if denom else 0.0
+        fer_total = fer_nms * fer_osd + stats.ufer  # undetected errors are final
+        lo, hi = stats.fer_confidence()
+        point = {
+            "snr_db": float(snr),
+            "frames": stats.frames,
+            "fer_nms_detected": fer_nms,
+            "fer_nms_any": stats.fer,
+            "fer_nms_ci": [lo, hi],
+            "ufer": stats.ufer,
+            "osd": osd_stats,
+            "fer_osd": fer_osd,
+            "fer_total": fer_total,
+            "nms_time_s": nms_time,
+            "osd_time_s": osd_time,
+            "nms_frames_per_s": stats.frames / max(nms_time, 1e-9),
+        }
+        curve.append(point)
+        log(
+            f"  snr {snr:.2f}: FER_nms {fer_nms:.3e} x FER_osd {fer_osd:.3e} "
+            f"-> {fer_total:.3e} ({stats.frames} frames, {n_osd} OSD)"
+        )
+        run.save_json("fer_curve.json", {"points": curve})
+    return {"points": curve}
+
+
+def run_recipe(cfg: RecipeConfig, run_root: str, snrs=None, log=print) -> dict:
+    run = RunDir(run_root)
+    run.save_json("config.json", dataclasses.asdict(cfg))
+    snrs = snrs if snrs is not None else np.linspace(2.0, 3.0, 6)
+    log("[1/5] training NMS decoder")
+    nms_params = stage_train_nms(cfg, run, log)
+    log("[2/5] harvesting training failures")
+    fb = stage_harvest_failures(cfg, run, nms_params, log)
+    log("[3/5] training DIA + decoding path")
+    model, dia_params, decoding_path = stage_train_dia_and_path(cfg, run, fb, log)
+    log("[4/5] training stopper")
+    s_params = stage_train_stopper(cfg, run, model, dia_params, fb, decoding_path, log)
+    log("[5/5] FER sweep")
+    curve = stage_eval_sweep(
+        cfg, run, nms_params, model, dia_params, s_params, decoding_path, snrs, log
+    )
+    return curve
