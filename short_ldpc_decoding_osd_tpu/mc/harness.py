@@ -57,8 +57,14 @@ def build_nms_mc_step(
     @jax.jit
     def step(params, key):
         llr, words = sample_batch(key, spec, gen, batch, all_zeros=all_zeros)
-        outs = nms.decode(params, h, llr, num_iterations, variant, edge_cols)
-        st = nms.frame_stats(outs[-1], words, h)
+        if capture_capacity:
+            outs = nms.decode(params, h, llr, num_iterations, variant, edge_cols)
+            soft_last = outs[-1]
+        else:
+            soft_last = nms.decode_final(
+                params, h, llr, num_iterations, variant, edge_cols
+            )
+        st = nms.frame_stats(soft_last, words, h)
         counters = jnp.stack(
             [
                 jnp.asarray(batch, jnp.int64),
@@ -97,17 +103,37 @@ def run_nms_mc(
     capture_limit: int = 100_000,
     spec: ChannelSpec | None = None,
     progress: bool = False,
+    mesh=None,
+    resume_path: str | None = None,
 ) -> tuple[DecodeStats, FailureBatch | None]:
     """Monte-Carlo FER sweep at one SNR point with error-budget early stop.
 
     Mirrors the stage-5 semantics: stop when total frame errors exceed
     ``error_budget`` or ``max_frames`` frames were decoded
-    (``ldpc_128_testing.py:36,130-131``)."""
+    (``ldpc_128_testing.py:36,130-131``).
+
+    * ``mesh``: optional ``jax.sharding.Mesh`` — frames shard over its 'mc'
+      axis (``batch`` then counts per-device frames); capture is only
+      supported on the single-device path.
+    * ``resume_path``: optional json file persisting (step_idx, counters) so
+      multi-hour sweeps survive pre-emption (SURVEY.md §5 failure-recovery
+      row); the PRNG stream is positional, so resuming reproduces exactly
+      the frames that would have followed."""
     spec = spec or ChannelSpec.awgn(snr_db, code.rate)
     capacity = min(batch, capture_limit) if capture_failures else 0
-    step = build_nms_mc_step(
-        code, variant, num_iterations, spec, batch, capture_capacity=capacity
-    )
+    if mesh is not None:
+        if capture_failures:
+            raise ValueError("failure capture requires the single-device path")
+        from ..parallel import sharded_nms_mc_step
+
+        step_sharded = sharded_nms_mc_step(
+            code, variant, num_iterations, spec, batch, mesh
+        )
+        step = lambda p, k: (step_sharded(p, k), None)
+    else:
+        step = build_nms_mc_step(
+            code, variant, num_iterations, spec, batch, capture_capacity=capacity
+        )
     key = jax.random.PRNGKey(seed)
     stats = DecodeStats(bits_per_frame=code.n)
     traj_list: list[np.ndarray] = []
@@ -115,6 +141,16 @@ def run_nms_mc(
     overflow = 0
     captured_total = 0
     step_idx = 0
+    if resume_path is not None:
+        import json
+        import os
+
+        if os.path.exists(resume_path):
+            with open(resume_path) as fh:
+                saved = json.load(fh)
+            if saved.get("seed") == seed and saved.get("snr_db") == snr_db:
+                step_idx = saved["step_idx"]
+                stats = DecodeStats(**saved["stats"])
     while stats.frames < max_frames and stats.frame_errors <= error_budget:
         counters, capture = step(params, jax.random.fold_in(key, step_idx))
         step_idx += 1
@@ -145,6 +181,10 @@ def run_nms_mc(
                 f"FER={stats.fer:.3e} failures={stats.detected_failures}",
                 flush=True,
             )
+        if resume_path is not None and step_idx % 50 == 0:
+            _write_resume(resume_path, seed, snr_db, step_idx, stats)
+    if resume_path is not None:
+        _write_resume(resume_path, seed, snr_db, step_idx, stats)
     failures = None
     if capture_failures:
         if traj_list:
@@ -160,6 +200,22 @@ def run_nms_mc(
                 overflow=overflow,
             )
     return stats, failures
+
+
+def _write_resume(path: str, seed: int, snr_db: float, step_idx: int, stats: DecodeStats):
+    import dataclasses
+    import json
+
+    with open(path, "wt") as fh:
+        json.dump(
+            {
+                "seed": seed,
+                "snr_db": snr_db,
+                "step_idx": step_idx,
+                "stats": dataclasses.asdict(stats),
+            },
+            fh,
+        )
 
 
 def iteration_ce_list(trajectories: np.ndarray, labels: np.ndarray) -> list[float]:

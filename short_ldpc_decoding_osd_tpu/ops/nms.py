@@ -200,6 +200,35 @@ def decode(
     return jnp.concatenate([llr[None], softs], axis=0)
 
 
+def decode_final(
+    params: dict,
+    h: jnp.ndarray,
+    llr: jnp.ndarray,
+    num_iterations: int,
+    variant: str = "NMS-1",
+    edge_cols: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Like :func:`decode` but returns only the last-iteration soft output
+    (B, n) — avoids materializing the (T+1, B, n) trajectory stack in HBM on
+    the Monte-Carlo fast path."""
+    w_vc, w_chk, w_marg = _weights(params, variant)
+    h = h.astype(jnp.float32)
+    weighted_in = (w_vc * llr)[:, None, :]
+
+    def step(cv, _):
+        total = jnp.sum(cv, axis=1)[:, None, :] + weighted_in
+        vc = total * h - cv
+        if variant == "NMS-r":
+            cv_new = _check_update_neural(vc, h, params, edge_cols)
+        else:
+            cv_new = _check_update_minsum(vc, h, w_chk)
+        return cv_new, None
+
+    cv0 = jnp.zeros((llr.shape[0],) + h.shape, llr.dtype)
+    cv, _ = jax.lax.scan(step, cv0, None, length=num_iterations)
+    return jnp.sum(cv, axis=1) + w_marg * llr
+
+
 def multi_iteration_loss(soft_outputs: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Sum over iterations 1..T of sigmoid cross entropy with logits
     ``-soft_output`` (``ms_decoder_dense.py:210-214``)."""

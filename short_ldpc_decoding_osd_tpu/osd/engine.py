@@ -222,6 +222,71 @@ def sliding_walk(
     }
 
 
+@partial(jax.jit, static_argnames=("k", "threshold_sum", "prune"))
+def pruned_batch_osd(
+    prep: PreparedBatch,
+    teps_all: jnp.ndarray,
+    k: int,
+    threshold_sum: int = 3,
+    prune: bool = True,
+):
+    """Alternative batch OSD with LRB-divergence candidate pruning.
+
+    Port of ``execute_osd`` + ``best_estimating``
+    (``DL_OSD_Testing_serial/ordered_statistics_decoding.py:259-308,121-139``):
+    every TEP in ``teps_all`` (N, k) is scored at once; when ``prune`` is on,
+    TEPs whose estimated-LRB flips on the "swap-focus" positions (reliability
+    rank >= jump_point = (n-k) - 4*threshold_sum) exceed 2*threshold_sum are
+    excluded from the argmin (they are low-probability candidates).  Success
+    is the strict criterion: the argmin candidate equals the transmitted
+    codeword."""
+    c0, u_l, u_m, base_mrb = _discrepancy_terms(prep, k)
+    n = prep.hard_original.shape[1]
+    m = n - k
+    m_f32 = prep.m_matrix.astype(jnp.float32)
+    tep_f = teps_all.astype(jnp.float32)
+    # estimated LRB flips vs the TEP-0 baseline
+    prods = jnp.einsum("bmk,nk->bmn", m_f32, tep_f, preferred_element_type=jnp.float32)
+    a = prods - 2.0 * jnp.floor(prods * 0.5)  # (B, m, N)
+    disc = c0[:, None] + jnp.einsum("bm,bmn->bn", u_l, a) + u_m @ tep_f.T
+    if prune:
+        # divergence of estimated LRB vs the *updated* hard LRB on focus slots
+        jump_point = m - 4 * threshold_sum
+        focus = (prep.lrb_ranks >= jump_point).astype(jnp.float32)  # (B, m)
+        init_lrb = prep.hard_updated[:, :m].astype(jnp.float32)
+        v = gf2ops.mod2_matmul(m_f32, base_mrb[..., None])[..., 0].astype(jnp.float32)
+        e0 = v + init_lrb - 2.0 * v * init_lrb  # baseline flip vs updated hard
+        # per-TEP focus-position flips: sum focus * (a xor e0)
+        base_term = jnp.sum(focus * e0, axis=1)
+        div = base_term[:, None] + jnp.einsum("bm,bmn->bn", focus * (1.0 - 2.0 * e0), a)
+        keep = div <= 2.0 * threshold_sum
+        # reference quirk: if fewer than 2 survive, fall back to the first 4
+        too_few = jnp.sum(keep.astype(jnp.int32), axis=1) < 2
+        first4 = jnp.arange(teps_all.shape[0]) < 4
+        keep = jnp.where(too_few[:, None], first4[None, :], keep)
+        disc = jnp.where(keep, disc, _BIG)
+        candidates_counted = jnp.sum(keep.astype(jnp.int32), axis=1)
+    else:
+        candidates_counted = jnp.full(disc.shape[0], teps_all.shape[0], jnp.int32)
+    best = jnp.argmin(disc, axis=1)
+    tep_sel = tep_f[best]  # (B, k)
+    mrb_c = jnp.abs(base_mrb - tep_sel)
+    prods_sel = jnp.einsum("bmk,bk->bm", m_f32, tep_sel)
+    a_sel = prods_sel - 2.0 * jnp.floor(prods_sel * 0.5)
+    v = gf2ops.mod2_matmul(m_f32, base_mrb[..., None])[..., 0].astype(jnp.float32)
+    lrb_c = jnp.abs(v - a_sel)
+    cand = jnp.concatenate([lrb_c, mrb_c], axis=1)
+    success = jnp.all(
+        cand == prep.order_labels.astype(jnp.float32), axis=1
+    )
+    return {
+        "success": success,
+        "best_index": best,
+        "num_candidates": candidates_counted,
+        "min_discrepancy": jnp.min(disc, axis=1),
+    }
+
+
 def sliding_osd(
     prep: PreparedBatch,
     teps: jnp.ndarray,
