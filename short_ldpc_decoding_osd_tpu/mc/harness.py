@@ -43,16 +43,24 @@ def build_nms_mc_step(
     batch: int,
     capture_capacity: int = 0,
     all_zeros: bool = False,
+    use_pallas: bool | None = None,
 ):
     """Build a jitted (params, key) -> (counters, capture) Monte-Carlo step.
 
     counters = [frames, frame_errors, bit_errors, detected, undetected].
-    """
+    ``use_pallas`` selects the fused VMEM kernel on the no-capture fast path
+    (default: automatically on TPU for the scalar variants)."""
     h = jnp.asarray(code.h, jnp.float32)
     gen = jnp.asarray(code.g, jnp.float32)
     edge_cols = (
         jnp.asarray(nms.edge_columns(code.h)) if variant == "NMS-r" else None
     )
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and variant != "NMS-r"
+            and batch % 32 == 0
+        )
 
     @jax.jit
     def step(params, key):
@@ -60,6 +68,12 @@ def build_nms_mc_step(
         if capture_capacity:
             outs = nms.decode(params, h, llr, num_iterations, variant, edge_cols)
             soft_last = outs[-1]
+        elif use_pallas:
+            from .. import ops
+
+            soft_last = ops.nms_pallas.decode_final_pallas(
+                params, h, llr, num_iterations, variant, block_frames=32
+            )
         else:
             soft_last = nms.decode_final(
                 params, h, llr, num_iterations, variant, edge_cols

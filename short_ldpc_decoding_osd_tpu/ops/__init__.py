@@ -1,3 +1,3 @@
-from . import nms
+from . import gf2ops, nms, nms_pallas
 
-__all__ = ["nms"]
+__all__ = ["gf2ops", "nms", "nms_pallas"]

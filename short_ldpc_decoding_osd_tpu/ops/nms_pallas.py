@@ -86,7 +86,11 @@ def decode_final_pallas(
     """Final-iteration soft outputs (B, n) via the fused VMEM kernel.
 
     Supports the scalar-normalization variants; B must be a multiple of
-    ``block_frames`` (the harness pads its batches)."""
+    ``block_frames``.  VMEM bound: the iteration body keeps ~8 live
+    ``[block, m, n]`` f32 temporaries plus the scratch, so
+    ``block_frames * m * n * 4 * ~9`` must stay under the ~16 MB scoped VMEM
+    — for the (128,64) code that caps block_frames at ~48 (32 is the sweet
+    spot measured on v5e; 128 OOMs)."""
     if variant == "NMS-r":
         raise ValueError("NMS-r uses the XLA path (neural check update)")
     from .nms import _weights

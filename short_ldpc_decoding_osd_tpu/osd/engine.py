@@ -296,7 +296,7 @@ def sliding_osd(
     k: int,
     window: int = 5,
     soft_margin: float = 0.9,
-    rel_tol: float = 1e-5,
+    rel_tol: float = 1e-3,
 ):
     """Full batched DL-OSD evaluation of one failure batch.
 
@@ -305,14 +305,32 @@ def sliding_osd(
     the two sums are computed by different — but mathematically equal —
     reductions), TEP-complexity and window counts.
     """
-    minima, _ = block_discrepancy_minima(prep, teps, mask, k)
+    minima, argmins = block_discrepancy_minima(prep, teps, mask, k)
     walk = sliding_walk(minima, fcn_params, window=window, soft_margin=soft_margin)
     acc = jnp.asarray(acc_block_sizes, jnp.int32)
     complexity = acc[walk["deep_limit"]]
     scale = jnp.maximum(prep.truth_discrepancy, 1.0)
     success = jnp.abs(walk["global_min"] - prep.truth_discrepancy) <= rel_tol * scale
+
+    # strict success: the argmin candidate within the expanded blocks equals
+    # the transmitted codeword (robust to float reduction-order noise)
+    num_blocks = minima.shape[1]
+    blk_ids = jnp.arange(num_blocks)[None, :]
+    in_walk = blk_ids < walk["deep_limit"][:, None]
+    masked_minima = jnp.where(in_walk, minima, _BIG)
+    best_block = jnp.argmin(masked_minima, axis=1)  # (B,)
+    best_inner = jnp.take_along_axis(argmins, best_block[:, None], axis=1)[:, 0]
+    tep_sel = teps[best_block, best_inner].astype(jnp.float32)  # (B, k)
+    base_mrb = prep.hard_updated[:, -k:].astype(jnp.float32)
+    mrb_c = jnp.abs(base_mrb - tep_sel)
+    m_f32 = prep.m_matrix.astype(jnp.float32)
+    prods = jnp.einsum("bmk,bk->bm", m_f32, mrb_c)
+    lrb_c = prods - 2.0 * jnp.floor(prods * 0.5)
+    cand = jnp.concatenate([lrb_c, mrb_c], axis=1)
+    strict_success = jnp.all(cand == prep.order_labels.astype(jnp.float32), axis=1)
     return {
         "success": success,
+        "strict_success": strict_success,
         "complexity": complexity,
         "window_num": walk["window_num"],
         "windows_evaluated": walk["windows_evaluated"],

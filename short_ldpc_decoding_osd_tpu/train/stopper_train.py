@@ -79,8 +79,8 @@ def generate_stopper_samples(
         truth = np.asarray(truth)
         overall = minima.min(axis=1)
         scale = np.maximum(np.abs(truth), 1.0)
-        is_undetected = overall < truth - 1e-5 * scale
-        is_success = np.abs(overall - truth) <= 1e-5 * scale
+        is_undetected = overall < truth - 1e-3 * scale
+        is_success = np.abs(overall - truth) <= 1e-3 * scale
         phase = np.where(is_success, 1.0, -1.0)
         keep = ~is_undetected
         undetected += int(is_undetected.sum())
