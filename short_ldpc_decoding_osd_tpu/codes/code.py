@@ -119,6 +119,11 @@ _REGISTRY_BUILDERS = {
     "ccsds_128_64": lambda: _load_packaged("ccsds_128_64"),
     "regular_256_128": lambda: make_regular_ldpc(256, 128, row_weight=8, seed=1),
     "regular_512_256": lambda: make_regular_ldpc(512, 256, row_weight=8, seed=2),
+    # counterparts of the reference's extra alist assets, constructed
+    # programmatically (SURVEY.md §2 cross-cutting assets row)
+    "regular_64_32": lambda: make_regular_ldpc(64, 32, row_weight=6, seed=3),
+    "regular_96_48": lambda: make_regular_ldpc(96, 48, row_weight=6, seed=4),
+    "regular_384_192": lambda: make_regular_ldpc(384, 192, row_weight=8, seed=5),
 }
 _CACHE: dict[str, Code] = {}
 

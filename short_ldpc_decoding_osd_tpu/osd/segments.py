@@ -79,13 +79,19 @@ def ranges_from_boundaries(boundaries) -> list[range]:
 
 
 def build_tep_blocks(
-    decoding_path, k: int, num_segments: int = 6
+    decoding_path, k: int, num_segments: int = 6, convention: bool = False
 ) -> tuple[list[np.ndarray], np.ndarray]:
     """TEP blocks + cumulative block sizes for a decoding path.
 
     Returns (blocks, acc_sizes) with ``acc_sizes[0] == 0`` — matches
-    ``generate_teps`` (``DL_Training_serial/interval_boundary.py:252-265``)."""
-    ranges = ranges_from_boundaries(segment_boundaries(k, num_segments))
+    ``generate_teps`` (``DL_Training_serial/interval_boundary.py:252-265``).
+    With ``convention=True`` the 3-way LR/MR/HR split is used instead of the
+    6-segment learned split (``collect_tep``,
+    ``DL_OSD_Testing_serial/ordered_statistics_decoding.py:100-118``)."""
+    if convention:
+        ranges = convention_ranges(k)
+    else:
+        ranges = ranges_from_boundaries(segment_boundaries(k, num_segments))
     blocks = [expand_pattern(p, ranges, k) for p in decoding_path]
     acc = np.concatenate([[0], np.cumsum([b.shape[0] for b in blocks])])
     return blocks, acc

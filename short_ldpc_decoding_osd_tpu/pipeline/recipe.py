@@ -219,6 +219,10 @@ def stage_eval_sweep(cfg: RecipeConfig, run: RunDir, nms_params, model, dia_para
     teps_j, mask_j = jnp.asarray(teps), jnp.asarray(mask)
     h = jnp.asarray(code.h)
     fcn = stopper_engine_params(s_params)
+    from ..mc.harness import iteration_ce_list
+    from ..utils.profiling import JsonlLogger
+
+    jsonl = JsonlLogger(run.path("metrics.jsonl"))
     curve = []
     for snr in snrs:
         t0 = time.time()
@@ -236,6 +240,7 @@ def stage_eval_sweep(cfg: RecipeConfig, run: RunDir, nms_params, model, dia_para
         t1 = time.time()
         n_osd = min(len(fb.trajectories), cfg.osd_failure_budget)
         osd_stats = {"success": 0, "fail": 0, "complexity": 0, "windows": 0}
+        ce_list = []
         if n_osd:
             traj = jnp.asarray(fb.trajectories[:n_osd], jnp.float32)
             labs = jnp.asarray(fb.labels[:n_osd], jnp.int32)
@@ -249,9 +254,23 @@ def stage_eval_sweep(cfg: RecipeConfig, run: RunDir, nms_params, model, dia_para
             osd_stats = {
                 "success": int(succ.sum()),
                 "fail": int((~succ).sum()),
+                "strict_success": int(np.asarray(out["strict_success"]).sum()),
                 "complexity": float(np.asarray(out["complexity"]).mean()),
                 "windows": float(np.asarray(out["window_num"]).mean()),
             }
+            # per-iteration CE over the failure set + the DIA-refined slot
+            # (reference 'CE list' bookkeeping, ms_test.py:251-267 /
+            # nn_testing.py:205-210)
+            ce_list = iteration_ce_list(fb.trajectories[:n_osd], fb.labels[:n_osd])
+            refined_np = np.asarray(refined)
+            logits = -refined_np.astype(np.float64)
+            z = fb.labels[:n_osd].astype(np.float64)
+            ce_list.append(
+                float(
+                    (np.maximum(logits, 0) - logits * z
+                     + np.log1p(np.exp(-np.abs(logits)))).sum()
+                )
+            )
         osd_time = time.time() - t1
         fer_nms = stats.detected_failures / max(stats.frames, 1)
         denom = osd_stats["success"] + osd_stats["fail"]
@@ -271,8 +290,10 @@ def stage_eval_sweep(cfg: RecipeConfig, run: RunDir, nms_params, model, dia_para
             "nms_time_s": nms_time,
             "osd_time_s": osd_time,
             "nms_frames_per_s": stats.frames / max(nms_time, 1e-9),
+            "ce_list": ce_list,
         }
         curve.append(point)
+        jsonl.log(point)
         log(
             f"  snr {snr:.2f}: FER_nms {fer_nms:.3e} x FER_osd {fer_osd:.3e} "
             f"-> {fer_total:.3e} ({stats.frames} frames, {n_osd} OSD)"
