@@ -65,10 +65,7 @@ def build_nms_mc_step(
     @jax.jit
     def step(params, key):
         llr, words = sample_batch(key, spec, gen, batch, all_zeros=all_zeros)
-        if capture_capacity:
-            outs = nms.decode(params, h, llr, num_iterations, variant, edge_cols)
-            soft_last = outs[-1]
-        elif use_pallas:
+        if use_pallas:
             from .. import ops
 
             soft_last = ops.nms_pallas.decode_final_pallas(
@@ -90,17 +87,53 @@ def build_nms_mc_step(
         )
         if not capture_capacity:
             return counters, None
+        # capture only the failures' channel LLRs; their full iteration
+        # trajectories are re-derived later in one batched re-decode (the
+        # decode is deterministic), so the fast final-only kernel serves the
+        # Monte-Carlo loop even in capture mode
         flag = st["detected_failure"]
         order = jnp.argsort(jnp.logical_not(flag), stable=True)  # failures first
         take = order[:capture_capacity]
         capture = {
             "count": jnp.sum(flag.astype(jnp.int32)),
-            "trajectories": jnp.transpose(outs[:, take, :], (1, 0, 2)),
+            "llr": llr[take],
             "labels": words[take],
         }
         return counters, capture
 
     return step
+
+
+def trajectories_for_llrs(
+    code: Code,
+    params: dict,
+    variant: str,
+    num_iterations: int,
+    llrs: np.ndarray,
+    chunk: int = 4096,
+) -> np.ndarray:
+    """Re-decode captured failure LLRs with the trajectory-stacking path,
+    returning (N, T+1, n) per-iteration soft outputs."""
+    h = jnp.asarray(code.h, jnp.float32)
+    edge_cols = jnp.asarray(nms.edge_columns(code.h)) if variant == "NMS-r" else None
+    n_total = len(llrs)
+    if n_total == 0:
+        return np.zeros((0, num_iterations + 1, code.n), np.float32)
+    pad = (-n_total) % chunk
+
+    @jax.jit
+    def redecode(x):
+        outs = nms.decode(params, h, x, num_iterations, variant, edge_cols)
+        return jnp.transpose(outs, (1, 0, 2))
+
+    padded = np.concatenate(
+        [llrs, np.zeros((pad, code.n), np.float32)], axis=0
+    )
+    parts = [
+        np.asarray(redecode(jnp.asarray(padded[i : i + chunk])))
+        for i in range(0, len(padded), chunk)
+    ]
+    return np.concatenate(parts)[:n_total]
 
 
 def run_nms_mc(
@@ -186,7 +219,7 @@ def run_nms_mc(
             keep = min(fit, room)
             overflow += count - keep
             if keep:
-                traj_list.append(np.asarray(capture["trajectories"][:keep]))
+                traj_list.append(np.asarray(capture["llr"][:keep]))
                 label_list.append(np.asarray(capture["labels"][:keep]))
                 captured_total += keep
         if progress:
@@ -202,8 +235,11 @@ def run_nms_mc(
     failures = None
     if capture_failures:
         if traj_list:
+            llrs = np.concatenate(traj_list)
             failures = FailureBatch(
-                trajectories=np.concatenate(traj_list),
+                trajectories=trajectories_for_llrs(
+                    code, params, variant, num_iterations, llrs
+                ),
                 labels=np.concatenate(label_list),
                 overflow=overflow,
             )
