@@ -50,10 +50,11 @@ def build_nms_mc_step(
     counters = [frames, frame_errors, bit_errors, detected, undetected].
     ``use_pallas`` selects the fused VMEM kernel on the no-capture fast path
     (default: automatically on TPU for the scalar variants)."""
-    h = jnp.asarray(code.h, jnp.float32)
+    decode_h = code.extended().h if variant == "ENMS" else code.h
+    h = jnp.asarray(decode_h, jnp.float32)
     gen = jnp.asarray(code.g, jnp.float32)
     edge_cols = (
-        jnp.asarray(nms.edge_columns(code.h)) if variant == "NMS-r" else None
+        jnp.asarray(nms.edge_columns(decode_h)) if variant == "NMS-r" else None
     )
     if use_pallas is None:
         use_pallas = (
@@ -114,8 +115,11 @@ def trajectories_for_llrs(
 ) -> np.ndarray:
     """Re-decode captured failure LLRs with the trajectory-stacking path,
     returning (N, T+1, n) per-iteration soft outputs."""
-    h = jnp.asarray(code.h, jnp.float32)
-    edge_cols = jnp.asarray(nms.edge_columns(code.h)) if variant == "NMS-r" else None
+    decode_h = code.extended().h if variant == "ENMS" else code.h
+    h = jnp.asarray(decode_h, jnp.float32)
+    edge_cols = (
+        jnp.asarray(nms.edge_columns(decode_h)) if variant == "NMS-r" else None
+    )
     n_total = len(llrs)
     if n_total == 0:
         return np.zeros((0, num_iterations + 1, code.n), np.float32)
