@@ -56,11 +56,15 @@ def build_nms_mc_step(
     edge_cols = (
         jnp.asarray(nms.edge_columns(decode_h)) if variant == "NMS-r" else None
     )
+    from ..ops.nms_pallas import auto_block_frames
+
+    pallas_block = auto_block_frames(decode_h.shape[0], code.n)
     if use_pallas is None:
         use_pallas = (
             jax.default_backend() == "tpu"
             and variant != "NMS-r"
-            and batch % 32 == 0
+            and pallas_block >= 8
+            and batch % pallas_block == 0
         )
 
     @jax.jit
@@ -70,7 +74,8 @@ def build_nms_mc_step(
             from .. import ops
 
             soft_last = ops.nms_pallas.decode_final_pallas(
-                params, h, llr, num_iterations, variant, block_frames=32
+                params, h, llr, num_iterations, variant,
+                block_frames=pallas_block,
             )
         else:
             soft_last = nms.decode_final(

@@ -31,6 +31,18 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 3.4e38
 
 
+def auto_block_frames(m: int, n: int, vmem_bytes: int = 16 * 2**20,
+                      live_copies: int = 12) -> int:
+    """Largest power-of-two frame block whose ~``live_copies`` [block, m, n]
+    f32 temporaries fit the scoped-VMEM limit.  Returns 0 when even a
+    2-frame block does not fit (caller should fall back to the XLA path)."""
+    per_frame = m * n * 4 * live_copies
+    block = 1
+    while block * 2 * per_frame <= vmem_bytes and block < 64:
+        block *= 2
+    return 0 if block < 2 else block
+
+
 def _kernel(num_iterations: int, weights_ref, h_ref, llr_ref, out_ref, cv_ref):
     w_vc = weights_ref[0]
     w_chk = weights_ref[1]
