@@ -1,0 +1,178 @@
+"""Fully fused Monte-Carlo NMS kernel: sample -> encode -> decode -> count.
+
+The end-game of the TPU-first design: one Pallas kernel per frame block that
+
+1. draws random message bits and AWGN noise with the on-core PRNG
+   (Box-Muller from ``pltpu.prng_random_bits`` — no host or HBM-staged
+   randomness at all),
+2. encodes on the MXU (``msg @ G mod 2``),
+3. runs all T NMS iterations in VMEM (same body as ``nms_pallas``),
+4. computes syndrome/error counters on the MXU,
+
+and writes only a handful of per-block counters to HBM.  The Monte-Carlo
+loop's HBM traffic is ~zero; the chip is pure VPU/MXU compute.  Used for the
+error-budget FER sweeps where failures need not be captured (the capture path
+re-derives failures separately).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 3.4e38
+_TWO_PI = 6.283185307179586
+
+
+def _uniform01(shape):
+    """(0,1) uniforms from raw PRNG bits (24-bit mantissa path)."""
+    bits = pltpu.prng_random_bits(shape)
+    u24 = jnp.right_shift(pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8))
+    return u24.astype(jnp.float32) * (1.0 / 16777216.0) + (0.5 / 16777216.0)
+
+
+def _mc_kernel(
+    num_iterations: int,
+    sigma: float,
+    mean: float,
+    scalars_ref,  # SMEM: [seed, w_vc, w_chk, w_marg]
+    h_ref,  # (m, n)
+    g_ref,  # (k, n)
+    out_ref,  # (1, 128) counters: [frames, frame_err, bit_err, detected, undetected]
+    cv_ref,  # scratch (bt, m, n)
+):
+    seed = scalars_ref[0]
+    w_vc = scalars_ref[1]
+    w_chk = scalars_ref[2]
+    w_marg = scalars_ref[3]
+    h = h_ref[:]
+    g = g_ref[:]
+    m, n = h.shape
+    k = g.shape[0]
+    bt = cv_ref.shape[0]
+    pltpu.prng_seed(seed.astype(jnp.int32) + pl.program_id(0))
+
+    # --- sample ---
+    msg_bits = pltpu.bitcast(pltpu.prng_random_bits((bt, k)), jnp.uint32)
+    msg = jnp.bitwise_and(msg_bits, jnp.uint32(1)).astype(jnp.float32)
+    prods = jnp.dot(msg, g, preferred_element_type=jnp.float32)
+    codeword = prods - 2.0 * jnp.floor(prods * 0.5)  # (bt, n) in {0,1}
+    u1 = _uniform01((bt, n))
+    u2 = _uniform01((bt, n))
+    z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+    received = mean + sigma * z
+    llr = (1.0 - 2.0 * codeword) * received
+
+    # --- decode (same body as nms_pallas) ---
+    edge = h > 0.0
+    weighted_in = (w_vc * llr)[:, None, :]
+    cv_ref[:] = jnp.zeros_like(cv_ref)
+
+    def body(_, carry):
+        cv = cv_ref[:]
+        total = jnp.sum(cv, axis=1)[:, None, :] + weighted_in
+        vc = total * h - cv
+        neg = jnp.logical_and(vc < 0.0, edge)
+        negcount = jnp.sum(neg.astype(jnp.float32), axis=-1, keepdims=True)
+        parity = negcount - 2.0 * jnp.floor(negcount * 0.5)
+        anyzero = jnp.any(jnp.logical_and(vc == 0.0, edge), axis=-1, keepdims=True)
+        row_sign = jnp.where(anyzero, 0.0, 1.0 - 2.0 * parity)
+        own = jnp.where(vc > 0.0, 1.0, jnp.where(vc < 0.0, -1.0, 0.0))
+        edge_sign = row_sign * own * h
+        mag = jnp.minimum(jnp.abs(vc), _BIG)
+        masked = jnp.where(edge, mag, _BIG)
+        min1 = jnp.min(masked, axis=-1, keepdims=True)
+        is_min = jnp.logical_and(masked <= min1, edge)
+        dup = jnp.sum(is_min.astype(jnp.float32), axis=-1, keepdims=True) > 1.5
+        strict2 = jnp.min(
+            jnp.where(masked > min1, masked, _BIG), axis=-1, keepdims=True
+        )
+        min2 = jnp.where(dup, min1, strict2)
+        emag = jnp.where(mag > min1, min1, min2) * h
+        cv_ref[:] = w_chk * emag * edge_sign
+        return carry
+
+    jax.lax.fori_loop(0, num_iterations, body, 0, unroll=False)
+    soft = jnp.sum(cv_ref[:], axis=1) + w_marg * llr
+
+    # --- count ---
+    hard = (soft < 0.0).astype(jnp.float32)
+    err = jnp.abs(hard - codeword)
+    frame_err = jnp.max(err, axis=1)  # (bt,)
+    bit_err = jnp.sum(err)
+    synd = jnp.dot(hard, h.T, preferred_element_type=jnp.float32)
+    synd = synd - 2.0 * jnp.floor(synd * 0.5)
+    detected = jnp.max(synd, axis=1)  # 1 if any parity violated
+    undetected = jnp.maximum(frame_err - detected, 0.0)
+    counters = jnp.zeros((1, 128), jnp.float32)
+    counters = counters.at[0, 0].set(float(bt))
+    counters = counters.at[0, 1].set(jnp.sum(frame_err))
+    counters = counters.at[0, 2].set(bit_err)
+    counters = counters.at[0, 3].set(jnp.sum(detected))
+    counters = counters.at[0, 4].set(jnp.sum(undetected))
+    out_ref[:] = counters
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_iterations", "batch", "block_frames", "sigma", "mean", "interpret"
+    ),
+)
+def mc_fused(
+    params_vec: jnp.ndarray,  # [seed, w_vc, w_chk, w_marg] float32
+    h: jnp.ndarray,
+    g: jnp.ndarray,
+    num_iterations: int,
+    batch: int,
+    sigma: float,
+    mean: float = 1.0,
+    block_frames: int = 32,
+    interpret: bool = False,
+):
+    """Run `batch` frames fully in-kernel; returns summed counter vector
+    [frames, frame_errors, bit_errors, detected, undetected]."""
+    m, n = h.shape
+    grid = (batch // block_frames,)
+    kernel = functools.partial(_mc_kernel, num_iterations, sigma, mean)
+    per_block = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((m, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(g.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid[0], 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_frames, m, n), jnp.float32)],
+        interpret=interpret,
+    )(params_vec, h.astype(jnp.float32), g.astype(jnp.float32))
+    return jnp.sum(per_block[:, :5], axis=0)
+
+
+def fused_counters(code, params, variant, num_iterations, snr_db, batch, seed,
+                   block_frames=32):
+    """Convenience wrapper matching the harness counter convention."""
+    from ..channel import sigma_for_snr
+    from .nms import _weights
+
+    w_vc, w_chk, w_marg = _weights(params, variant)
+    vec = jnp.stack(
+        [jnp.float32(seed), w_vc, w_chk, w_marg]
+    ).astype(jnp.float32)
+    return mc_fused(
+        vec,
+        jnp.asarray(code.h, jnp.float32),
+        jnp.asarray(code.g, jnp.float32),
+        num_iterations,
+        batch,
+        float(sigma_for_snr(snr_db, code.rate)),
+        1.0,
+        block_frames,
+    )

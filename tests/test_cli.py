@@ -1,0 +1,46 @@
+import itertools
+import json
+
+import numpy as np
+import pytest
+
+from short_ldpc_decoding_osd_tpu.cli.main import main, _parse_snrs
+from short_ldpc_decoding_osd_tpu.osd import segments
+
+
+def test_parse_snrs():
+    got = _parse_snrs("2.0:3.0:6")
+    np.testing.assert_allclose(got, np.linspace(2.0, 3.0, 6))
+
+
+def test_conventional_path_enumeration():
+    path = segments.conventional_path(3)
+    # all unique patterns over 3 segments with sum <= 3
+    assert len(path) == len({tuple(p) for p in path}) == 20
+    assert all(sum(p) <= 3 for p in path)
+    # builds TEP blocks under the 3-way convention split
+    blocks, acc = segments.build_tep_blocks(path[:5], 64, convention=True)
+    assert acc[0] == 0 and len(blocks) == 5
+
+
+def test_cli_help_smoke(capsys):
+    with pytest.raises(SystemExit):
+        main(["--help"])
+    out = capsys.readouterr().out
+    for sub in ("train-nms", "eval-nms", "sweep", "baseline", "bench"):
+        assert sub in out
+
+
+def test_cli_train_and_eval_roundtrip(tmp_path):
+    run_dir = str(tmp_path / "run")
+    main([
+        "train-nms", "--steps", "3", "--batch", "16", "--iterations", "3",
+        "--run-dir", run_dir,
+    ])
+    main([
+        "eval-nms", "--snrs", "4.0:4.0:1", "--batch", "128",
+        "--error-budget", "1000000000", "--max-frames", "256",
+        "--iterations", "3", "--run-dir", run_dir,
+    ])
+    blob = json.load(open(run_dir + "/nms_fer.json"))
+    assert blob["points"][0]["frames"] == 256
