@@ -33,6 +33,8 @@ def _uniform01(shape):
     """(0,1) uniforms from raw PRNG bits (24-bit mantissa path)."""
     bits = pltpu.prng_random_bits(shape)
     u24 = jnp.right_shift(pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8))
+    # Mosaic lacks uint32->f32; the 24-bit value is int32-safe
+    u24 = pltpu.bitcast(u24, jnp.int32)
     return u24.astype(jnp.float32) * (1.0 / 16777216.0) + (0.5 / 16777216.0)
 
 
@@ -43,7 +45,8 @@ def _mc_kernel(
     scalars_ref,  # SMEM: [seed, w_vc, w_chk, w_marg]
     h_ref,  # (m, n)
     g_ref,  # (k, n)
-    out_ref,  # (1, 128) counters: [frames, frame_err, bit_err, detected, undetected]
+    out_ref,  # (1, 8, 128) counter tile; row 0 lanes 0..4 hold
+    # [frames, frame_err, bit_err, detected, undetected]
     cv_ref,  # scratch (bt, m, n)
 ):
     seed = scalars_ref[0]
@@ -58,8 +61,8 @@ def _mc_kernel(
     pltpu.prng_seed(seed.astype(jnp.int32) + pl.program_id(0))
 
     # --- sample ---
-    msg_bits = pltpu.bitcast(pltpu.prng_random_bits((bt, k)), jnp.uint32)
-    msg = jnp.bitwise_and(msg_bits, jnp.uint32(1)).astype(jnp.float32)
+    msg_bits = pltpu.bitcast(pltpu.prng_random_bits((bt, k)), jnp.int32)
+    msg = jnp.bitwise_and(msg_bits, jnp.int32(1)).astype(jnp.float32)
     prods = jnp.dot(msg, g, preferred_element_type=jnp.float32)
     codeword = prods - 2.0 * jnp.floor(prods * 0.5)  # (bt, n) in {0,1}
     u1 = _uniform01((bt, n))
@@ -103,19 +106,23 @@ def _mc_kernel(
     # --- count ---
     hard = (soft < 0.0).astype(jnp.float32)
     err = jnp.abs(hard - codeword)
-    frame_err = jnp.max(err, axis=1)  # (bt,)
+    frame_err = jnp.max(err, axis=1, keepdims=True)  # (bt, 1)
     bit_err = jnp.sum(err)
     synd = jnp.dot(hard, h.T, preferred_element_type=jnp.float32)
     synd = synd - 2.0 * jnp.floor(synd * 0.5)
-    detected = jnp.max(synd, axis=1)  # 1 if any parity violated
+    detected = jnp.max(synd, axis=1, keepdims=True)  # 1 if any parity violated
     undetected = jnp.maximum(frame_err - detected, 0.0)
-    counters = jnp.zeros((1, 128), jnp.float32)
-    counters = counters.at[0, 0].set(float(bt))
-    counters = counters.at[0, 1].set(jnp.sum(frame_err))
-    counters = counters.at[0, 2].set(bit_err)
-    counters = counters.at[0, 3].set(jnp.sum(detected))
-    counters = counters.at[0, 4].set(jnp.sum(undetected))
-    out_ref[:] = counters
+    # place the 5 scalars in row 0, lanes 0..4 via lane masks (no scatter)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
+    vals = (
+        jnp.where(lane == 0, jnp.float32(bt), 0.0)
+        + jnp.where(lane == 1, jnp.sum(frame_err), 0.0)
+        + jnp.where(lane == 2, bit_err, 0.0)
+        + jnp.where(lane == 3, jnp.sum(detected), 0.0)
+        + jnp.where(lane == 4, jnp.sum(undetected), 0.0)
+    )
+    out_ref[:] = jnp.where(row == 0, vals, 0.0)
 
 
 @functools.partial(
@@ -148,12 +155,14 @@ def mc_fused(
             pl.BlockSpec((m, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(g.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((grid[0], 128), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((grid[0], 8, 128), jnp.float32),
         scratch_shapes=[pltpu.VMEM((block_frames, m, n), jnp.float32)],
         interpret=interpret,
     )(params_vec, h.astype(jnp.float32), g.astype(jnp.float32))
-    return jnp.sum(per_block[:, :5], axis=0)
+    return jnp.sum(per_block[:, 0, :5], axis=0)
 
 
 def fused_counters(code, params, variant, num_iterations, snr_db, batch, seed,
