@@ -177,6 +177,34 @@ def run_nms_mc(
       the frames that would have followed."""
     spec = spec or ChannelSpec.awgn(snr_db, code.rate)
     capacity = min(batch, capture_limit) if capture_failures else 0
+    use_fused = (
+        not capture_failures
+        and mesh is None
+        and jax.default_backend() == "tpu"
+        and variant not in ("NMS-r", "ENMS")
+        and spec == ChannelSpec.awgn(snr_db, code.rate)
+        and batch % 32 == 0
+    )
+    if use_fused:
+        # fully fused in-kernel Monte-Carlo (own PRNG stream; statistically
+        # equivalent to the jax.random path)
+        from ..ops.mc_pallas import fused_counters
+        from ..ops.nms_pallas import auto_block_frames
+
+        block = auto_block_frames(code.m, code.n)
+        if block >= 8 and batch % block == 0:
+
+            def step(p, key_unused, _idx=[0]):
+                del key_unused
+                c = fused_counters(
+                    code, p, variant, num_iterations, snr_db, batch,
+                    seed=seed * 100003 + _idx[0], block_frames=block,
+                )
+                _idx[0] += 1
+                return c, None
+
+        else:
+            use_fused = False
     if mesh is not None:
         if capture_failures:
             raise ValueError("failure capture requires the single-device path")
@@ -186,7 +214,7 @@ def run_nms_mc(
             code, variant, num_iterations, spec, batch, mesh
         )
         step = lambda p, k: (step_sharded(p, k), None)
-    else:
+    elif not use_fused:
         step = build_nms_mc_step(
             code, variant, num_iterations, spec, batch, capture_capacity=capacity
         )
