@@ -124,6 +124,8 @@ _REGISTRY_BUILDERS = {
     "regular_64_32": lambda: make_regular_ldpc(64, 32, row_weight=6, seed=3),
     "regular_96_48": lambda: make_regular_ldpc(96, 48, row_weight=6, seed=4),
     "regular_384_192": lambda: make_regular_ldpc(384, 192, row_weight=8, seed=5),
+    "regular_121_60": lambda: make_regular_ldpc(121, 61, row_weight=6, seed=6),
+    "regular_1056_880": lambda: make_regular_ldpc(1056, 176, row_weight=18, seed=7),
 }
 _CACHE: dict[str, Code] = {}
 

@@ -311,3 +311,12 @@ def iteration_ce_list(trajectories: np.ndarray, labels: np.ndarray) -> list[floa
     z = labels[:, None, :].astype(np.float64)
     ce = np.maximum(logits, 0) - logits * z + np.log1p(np.exp(-np.abs(logits)))
     return [float(x) for x in ce.sum(axis=(0, 2))]
+
+
+def iteration_ber_list(trajectories: np.ndarray, labels: np.ndarray) -> list[float]:
+    """Per-iteration bit error rate over a failure set (the reference's BER
+    bookkeeping alongside the CE list, ``nn_testing.py:205-210``)."""
+    hard = trajectories <= 0
+    err = hard != (labels[:, None, :] > 0)
+    denom = max(trajectories.shape[0] * trajectories.shape[2], 1)
+    return [float(x) / denom for x in err.sum(axis=(0, 2))]

@@ -61,6 +61,9 @@ class RecipeConfig:
     osd_failure_budget: int = 500
     train_failure_target: int = 20_000
     max_frames_per_snr: int = 10**8
+    # optional per-SNR-point scaling of max_frames, low -> high SNR
+    # (reference portion_dis, ``Testing_data_gen_128/Main_test.py:90-106``)
+    frame_portions: tuple = ()
     eval_batch: int = 4096
     seed: int = 0
 
@@ -224,13 +227,18 @@ def stage_eval_sweep(cfg: RecipeConfig, run: RunDir, nms_params, model, dia_para
 
     jsonl = JsonlLogger(run.path("metrics.jsonl"))
     curve = []
-    for snr in snrs:
+    for idx, snr in enumerate(snrs):
+        portion = (
+            cfg.frame_portions[min(idx, len(cfg.frame_portions) - 1)]
+            if cfg.frame_portions
+            else 1.0
+        )
         t0 = time.time()
         stats, fb = harness.run_nms_mc(
             code, nms_params, cfg.variant, cfg.num_iterations, float(snr),
             batch=cfg.eval_batch,
             error_budget=cfg.nms_error_budget,
-            max_frames=cfg.max_frames_per_snr,
+            max_frames=max(int(cfg.max_frames_per_snr * portion), cfg.eval_batch),
             seed=cfg.seed + int(snr * 100),
             capture_failures=True,
             capture_limit=max(cfg.osd_failure_budget * 4, 2000),
