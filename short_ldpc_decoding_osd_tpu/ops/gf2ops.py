@@ -46,6 +46,8 @@ def batched_row_reduce(h_batch: jnp.ndarray, assume_full_rank: bool = True):
     col_ids = jnp.arange(n, dtype=jnp.int32)
 
     def step(t, carry):
+        # swaps are expressed as one-hot masked selects (no batched gathers —
+        # per-frame dynamic gathers serialize badly on TPU)
         mat, col_order = carry
         col_t = mat[:, :, t]  # (B, m)
         valid_rows = row_ids[None, :] >= t
@@ -60,23 +62,34 @@ def batched_row_reduce(h_batch: jnp.ndarray, assume_full_rank: bool = True):
         swap_col = jnp.argmax(row_masked, axis=1)  # (B,)
         swap_col = jnp.where(has_pivot, t, swap_col)
 
-        # permute columns t <-> swap_col (identity when has_pivot)
-        perm = jnp.where(
-            col_ids[None, :] == t,
-            swap_col[:, None],
-            jnp.where(col_ids[None, :] == swap_col[:, None], t, col_ids[None, :]),
-        )  # (B, n)
-        mat = jnp.take_along_axis(mat, perm[:, None, :], axis=2)
-        col_order = jnp.take_along_axis(col_order, perm, axis=1)
+        # columns t <-> swap_col via one-hot select
+        is_t_col = col_ids[None, :] == t  # (1, n)
+        is_swap_col = col_ids[None, :] == swap_col[:, None]  # (B, n)
+        swap_col_vals = jnp.einsum(
+            "bn,bmn->bm", is_swap_col.astype(jnp.float32),
+            mat.astype(jnp.float32), preferred_element_type=jnp.float32,
+        ).astype(jnp.int8)  # column at swap_col
+        t_col_vals = mat[:, :, t]
+        mat = jnp.where(is_t_col[:, None, :], swap_col_vals[:, :, None], mat)
+        mat = jnp.where(is_swap_col[:, None, :], t_col_vals[:, :, None], mat)
+        ord_t = col_order[:, t]
+        ord_swap = jnp.sum(
+            jnp.where(is_swap_col, col_order, 0), axis=1
+        )
+        col_order = jnp.where(is_t_col, ord_swap[:, None], col_order)
+        col_order = jnp.where(is_swap_col, ord_t[:, None], col_order)
 
-        # swap rows t <-> pivot_row (pivot_row == t when column was swapped in)
+        # rows t <-> pivot_row via one-hot select
         pr = jnp.where(has_pivot, pivot_row, t)
-        row_perm = jnp.where(
-            row_ids[None, :] == t,
-            pr[:, None],
-            jnp.where(row_ids[None, :] == pr[:, None], t, row_ids[None, :]),
-        )  # (B, m)
-        mat = jnp.take_along_axis(mat, row_perm[:, :, None], axis=1)
+        is_t_row = row_ids[None, :] == t  # (1, m)
+        is_p_row = row_ids[None, :] == pr[:, None]  # (B, m)
+        p_row_vals = jnp.einsum(
+            "bm,bmn->bn", is_p_row.astype(jnp.float32),
+            mat.astype(jnp.float32), preferred_element_type=jnp.float32,
+        ).astype(jnp.int8)
+        t_row_vals = mat[:, t, :]
+        mat = jnp.where(is_t_row[:, :, None], p_row_vals[:, None, :], mat)
+        mat = jnp.where(is_p_row[:, :, None], t_row_vals[:, None, :], mat)
 
         # eliminate column t everywhere except row t
         pivot_vec = mat[:, t, :]  # (B, n)
