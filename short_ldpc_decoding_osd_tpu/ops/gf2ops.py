@@ -129,7 +129,21 @@ def identify_mrb(h_batch: jnp.ndarray, k: int):
         function threshold-free.
     """
     batch, m, n = h_batch.shape
-    reduced, col_order = batched_row_reduce(h_batch)
+    use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .gf2_pallas import batched_row_reduce_pallas
+
+        block = 16
+        pad = (-batch) % block
+        hb = (
+            jnp.concatenate([h_batch, jnp.broadcast_to(h_batch[:1], (pad, m, n))])
+            if pad
+            else h_batch
+        )
+        reduced, col_order = batched_row_reduce_pallas(hb, block_frames=block)
+        reduced, col_order = reduced[:batch], col_order[:batch]
+    else:
+        reduced, col_order = batched_row_reduce(h_batch)
     mrb_cols = col_order[:, -k:]  # reliability ranks of MRB positions
     sort_idx = jnp.argsort(mrb_cols, axis=1)
     mrb_sorted = jnp.take_along_axis(mrb_cols, sort_idx, axis=1)
