@@ -27,8 +27,9 @@ _BIGI = 1e9
 def _kernel(m: int, n: int, h_ref, out_mat_ref, out_ord_ref, mat_ref, ord_ref):
     bt = mat_ref.shape[0]
     mat_ref[:] = h_ref[:]
-    lane = jax.lax.broadcasted_iota(jnp.float32, (bt, n), 1)  # column ids
-    sub = jax.lax.broadcasted_iota(jnp.float32, (bt, m), 1)  # row ids
+    # int iota + cast: Mosaic's tpu.iota only produces integer vectors
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bt, n), 1).astype(jnp.float32)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (bt, m), 1).astype(jnp.float32)
     ord_ref[:] = lane
 
     def step(t, carry):
