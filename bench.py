@@ -19,10 +19,11 @@ import time
 
 import numpy as np
 
-BATCH = int(os.environ.get("BENCH_BATCH", 1048576))
+BATCH = int(os.environ.get("BENCH_BATCH", 2097152))
 ITERS = int(os.environ.get("BENCH_ITERS", 12))
 SNR_DB = float(os.environ.get("BENCH_SNR", 3.0))
 STEPS = int(os.environ.get("BENCH_STEPS", 4))
+BLOCK = int(os.environ.get("BENCH_BLOCK", 512))
 CPU_BATCH = int(os.environ.get("BENCH_CPU_BATCH", 512))
 CPU_REPS = int(os.environ.get("BENCH_CPU_REPS", 3))
 
@@ -79,18 +80,22 @@ def tpu_nms_throughput(code) -> tuple[float, dict]:
         pass
 
     from short_ldpc_decoding_osd_tpu.ops import nms
-    from short_ldpc_decoding_osd_tpu.ops.mc_pallas import fused_counters
+    from short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas import fused_counters_edge
 
     params = nms.init_params("NMS-1")
-    # fully fused Monte-Carlo kernel: in-kernel PRNG sample + MXU encode +
-    # VMEM NMS decode + syndrome counting; ~zero HBM traffic per frame
-    counters = fused_counters(code, params, "NMS-1", ITERS, SNR_DB, BATCH, seed=0)
+    # fully fused Monte-Carlo kernel with the edge-compact decoder: in-kernel
+    # PRNG sample + MXU encode + check-centric VMEM NMS (one-hot MXU
+    # scatter/gather) + syndrome counting; ~zero HBM traffic per frame
+    counters = fused_counters_edge(
+        code, params, "NMS-1", ITERS, SNR_DB, BATCH, seed=0, block_frames=BLOCK
+    )
     np.asarray(counters)  # host transfer forces completion (axon's
     # block_until_ready does not reliably block)
     t0 = time.perf_counter()
     for i in range(STEPS):
-        counters = fused_counters(
-            code, params, "NMS-1", ITERS, SNR_DB, BATCH, seed=1 + i
+        counters = fused_counters_edge(
+            code, params, "NMS-1", ITERS, SNR_DB, BATCH, seed=1 + i,
+            block_frames=BLOCK,
         )
         np.asarray(counters)
     dt = time.perf_counter() - t0

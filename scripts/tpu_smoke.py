@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Real-TPU smoke test for all Pallas kernels.
+
+The pytest suite runs on a virtual CPU mesh (interpret-mode Pallas), so a
+kernel can pass the suite yet fail to *lower* on actual hardware (e.g. the
+f32 tpu.iota regression fixed in ops/gf2_pallas.py, or the default-precision
+matmul bf16 truncation in ops/nms_edge_pallas.py).  Run this after touching
+any kernel:
+
+    timeout 580 python scripts/tpu_smoke.py
+
+Exits non-zero on any failure.  Checks, per kernel:
+  * it compiles and runs on the TPU backend,
+  * dense NMS + GE kernels are bitwise-equal to the XLA paths,
+  * the edge-compact NMS kernel matches XLA to f32 tolerance,
+  * fused MC counters are statistically consistent with the XLA MC step.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    if jax.default_backend() != "tpu":
+        print(f"SKIP: backend is {jax.default_backend()}, not tpu")
+        return 1
+
+    from short_ldpc_decoding_osd_tpu.codes import get_code
+    from short_ldpc_decoding_osd_tpu.ops import gf2ops, nms
+    from short_ldpc_decoding_osd_tpu.ops.gf2_pallas import batched_row_reduce_pallas
+    from short_ldpc_decoding_osd_tpu.ops.mc_pallas import fused_counters
+    from short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas import fused_counters_edge
+    from short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas import decode_final_edge
+    from short_ldpc_decoding_osd_tpu.ops.nms_pallas import decode_final_pallas
+
+    code = get_code("ccsds_128_64")
+    rng = np.random.default_rng(0)
+    failures = []
+
+    def check(name, ok, detail=""):
+        print(f"{'PASS' if ok else 'FAIL'} {name} {detail}")
+        if not ok:
+            failures.append(name)
+
+    # --- dense NMS kernel: bitwise vs XLA ---
+    llr = jnp.asarray(rng.normal(1.0, 0.8, (128, code.n)), jnp.float32)
+    params = nms.init_params("NMS-1")
+    h = jnp.asarray(code.h, jnp.float32)
+    ref = np.asarray(nms.decode_final(params, h, llr, 12, "NMS-1"))
+    got = np.asarray(decode_final_pallas(params, h, llr, 12, "NMS-1", 32))
+    check("nms_pallas bitwise", np.array_equal(ref, got),
+          f"maxdiff={np.abs(ref - got).max():.2e}")
+
+    # --- edge NMS kernel: f32 tolerance vs XLA ---
+    llr512 = jnp.asarray(rng.normal(1.0, 0.8, (512, code.n)), jnp.float32)
+    ref = np.asarray(nms.decode_final(params, h, llr512, 12, "NMS-1"))
+    got = np.asarray(decode_final_edge(params, code.h, llr512, 12, "NMS-1", 512))
+    tol_ok = np.allclose(got, ref, atol=1e-3, rtol=1e-3)
+    hard = ((got < 0) == (ref < 0)).mean()
+    check("nms_edge tolerance", tol_ok and hard >= 0.999,
+          f"maxdiff={np.abs(ref - got).max():.2e} hard={hard:.5f}")
+
+    # --- GE kernel: bitwise vs XLA on permuted H ---
+    hb = np.stack([code.h[:, rng.permutation(code.n)] for _ in range(64)])
+    hb = jnp.asarray(hb, jnp.float32)
+    mat_p, ord_p = batched_row_reduce_pallas(hb, block_frames=16)
+    mat_x, ord_x = gf2ops.batched_row_reduce(hb.astype(jnp.int8))
+    check(
+        "gf2_pallas bitwise",
+        bool(jnp.all(mat_p.astype(jnp.int32) == mat_x.astype(jnp.int32)))
+        and bool(jnp.all(ord_p.astype(jnp.int32) == ord_x.astype(jnp.int32))),
+    )
+
+    # --- fused MC kernels: FER within 6 sigma of each other ---
+    batch = 262144
+    c_dense = np.asarray(fused_counters(code, params, "NMS-1", 12, 3.0, batch, 7))
+    c_edge = np.asarray(
+        fused_counters_edge(code, params, "NMS-1", 12, 3.0, batch, 11)
+    )
+    p = 0.5 * (c_dense[1] + c_edge[1]) / batch
+    sig = np.sqrt(2 * p * (1 - p) / batch)
+    diff = abs(c_dense[1] - c_edge[1]) / batch
+    check("mc fused FER parity", diff < 6 * sig,
+          f"dense={c_dense[1]/batch:.5f} edge={c_edge[1]/batch:.5f} 6sig={6*sig:.5f}")
+
+    print("ALL PASS" if not failures else f"FAILURES: {failures}")
+    return 0 if not failures else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -56,21 +56,44 @@ def build_nms_mc_step(
     edge_cols = (
         jnp.asarray(nms.edge_columns(decode_h)) if variant == "NMS-r" else None
     )
+    from ..ops.nms_edge_pallas import auto_block_frames as edge_auto
     from ..ops.nms_pallas import auto_block_frames
 
+    dc = int(np.asarray(decode_h).sum(axis=1).max())
+    edge_block = edge_auto(decode_h.shape[0], code.n, dc)
+    while edge_block >= 8 and batch % edge_block:
+        edge_block //= 2
     pallas_block = auto_block_frames(decode_h.shape[0], code.n)
     if use_pallas is None:
         use_pallas = (
             jax.default_backend() == "tpu"
             and variant != "NMS-r"
-            and pallas_block >= 8
-            and batch % pallas_block == 0
+            and (
+                edge_block >= 8
+                or (pallas_block >= 8 and batch % pallas_block == 0)
+            )
         )
+    # capture mode re-derives failure trajectories with the XLA decoder and
+    # needs bit-identical failure flags, which only the dense kernel
+    # guarantees (the edge kernel agrees to f32 rounding, not bitwise)
+    use_edge = use_pallas and edge_block >= 8 and not capture_capacity
+    if use_pallas and not use_edge and not (
+        pallas_block >= 8 and batch % pallas_block == 0
+    ):
+        use_pallas = False
+    decode_h_host = np.asarray(decode_h)
 
     @jax.jit
     def step(params, key):
         llr, words = sample_batch(key, spec, gen, batch, all_zeros=all_zeros)
-        if use_pallas:
+        if use_edge:
+            from ..ops.nms_edge_pallas import decode_final_edge
+
+            soft_last = decode_final_edge(
+                params, decode_h_host, llr, num_iterations, variant,
+                block_frames=edge_block,
+            )
+        elif use_pallas:
             from .. import ops
 
             soft_last = ops.nms_pallas.decode_final_pallas(
@@ -187,12 +210,30 @@ def run_nms_mc(
     )
     if use_fused:
         # fully fused in-kernel Monte-Carlo (own PRNG stream; statistically
-        # equivalent to the jax.random path)
+        # equivalent to the jax.random path); the edge-compact kernel is ~4x
+        # the dense one and is preferred whenever its layout fits VMEM
         from ..ops.mc_pallas import fused_counters
+        from ..ops.nms_edge_pallas import auto_block_frames as edge_auto
+        from ..ops.nms_edge_pallas import fused_counters_edge
         from ..ops.nms_pallas import auto_block_frames
 
+        dc = int(code.h.sum(axis=1).max())
+        eblock = edge_auto(code.m, code.n, dc)
+        while eblock >= 8 and batch % eblock:
+            eblock //= 2
         block = auto_block_frames(code.m, code.n)
-        if block >= 8 and batch % block == 0:
+        if eblock >= 8:
+
+            def step(p, key_unused, _idx=[0]):
+                del key_unused
+                c = fused_counters_edge(
+                    code, p, variant, num_iterations, snr_db, batch,
+                    seed=seed * 100003 + _idx[0], block_frames=eblock,
+                )
+                _idx[0] += 1
+                return c, None
+
+        elif block >= 8 and batch % block == 0:
 
             def step(p, key_unused, _idx=[0]):
                 del key_unused

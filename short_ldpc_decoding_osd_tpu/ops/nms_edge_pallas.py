@@ -1,0 +1,329 @@
+"""Edge-compact Pallas NMS kernels: check-centric layout + MXU scatter/gather.
+
+The dense kernels (``nms_pallas`` / ``mc_pallas``) spend their VPU cycles on
+the full ``[B, m, n]`` masked tensor even though only ``m*dc`` entries are
+real edges — a 16x lane waste for the (128,64) code (64x128 mask, row degree
+8).  Here the check-to-variable messages live as ``dc`` slabs of shape
+``(block, m)``; the variable dimension appears only in two batched matmuls
+per iteration against constant one-hot edge-incidence matrices:
+
+  scatter:  colsum[b, v] = sum_j (cv_j @ S_j)[b, v]   (column sums)
+  gather:   g_j[b, c]    = (total @ G_j)[b, c]        (per-edge column totals)
+
+which the MXU does essentially for free.  Per-iteration VPU element work
+drops ~30x vs the dense kernels.
+
+The math is identical to ``ops.nms.decode_final`` (reference
+``ms_decoder_dense.py:121-134,177-207``): min/submin with the
+duplicate-at-the-minimum rule via a two-register tournament, sign product
+with zero semantics via an explicit multiply chain (``jnp.sign``+``prod``
+SIGSEGVs this Mosaic toolchain, see ops/nms.py).  Only the float accumulation
+*order* differs (matmul reduction trees vs dense row sums), so soft outputs
+agree to f32 rounding rather than bit-exactly; the dense kernels remain the
+bit-exact reference (tests/test_nms_edge.py checks tolerance + hard-decision
+equivalence + FER statistics).
+
+Irregular check degrees are handled with dummy edges: a ``+_BIAS`` offset
+makes the padded edge's magnitude huge and its sign positive, so it never
+wins the minimum and never flips the row sign; its one-hot rows are zero so
+it scatters nothing back.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .mc_pallas import _uniform01
+
+_BIG = 3.4e38
+_BIAS = 1e30
+_TWO_PI = 6.283185307179586
+
+
+@functools.lru_cache(maxsize=16)
+def _edge_layout_cached(h_bytes: bytes, m: int, n: int):
+    h = np.frombuffer(h_bytes, dtype=np.uint8).reshape(m, n)
+    dc = int(h.sum(axis=1).max())
+    scatter = np.zeros((dc, m, n), np.float32)
+    gather = np.zeros((dc, n, m), np.float32)
+    bias = np.zeros((dc, 1, m), np.float32)
+    for c in range(m):
+        cols = np.nonzero(h[c])[0]
+        for j in range(dc):
+            if j < len(cols):
+                scatter[j, c, cols[j]] = 1.0
+                gather[j, cols[j], c] = 1.0
+            else:
+                bias[j, 0, c] = _BIAS
+    return scatter, gather, bias
+
+
+def edge_layout(h) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One-hot scatter/gather incidence matrices + dummy-edge bias for ``h``.
+
+    Returns (scatter (dc,m,n), gather (dc,n,m), bias (dc,1,m)) f32 arrays."""
+    h = np.asarray(h, dtype=np.uint8)
+    return _edge_layout_cached(h.tobytes(), *h.shape)
+
+
+def auto_block_frames(m: int, n: int, dc: int, vmem_bytes: int = 16 * 2**20) -> int:
+    """Largest power-of-two frame block fitting scoped VMEM: constant
+    matrices (2*dc*m*n + h) + ~28 live (block, m) slabs (cv/mag/sign/vc per
+    edge plus totals).  Returns 0 if even 8 frames don't fit."""
+    const = (2 * dc * m * n + m * n) * 4
+    per_frame = (3 * dc + 6) * m * 4 + 6 * n * 4
+    block = 8
+    # cap at 512: larger blocks fit the VMEM estimate but fail scheduling in
+    # the Mosaic compiler (measured on v5e; 512 is also the throughput peak)
+    while block * 2 * per_frame + const <= vmem_bytes and block < 512:
+        block *= 2
+    return 0 if block * per_frame + const > vmem_bytes else block
+
+
+def _decode_edge(dc, num_iterations, w_vc, w_chk, llr, scat_ref, gath_ref,
+                 bias_ref, cv_ref):
+    """Shared iteration body; returns the final column sums (block, n)."""
+
+    # HIGHEST precision: the default TPU matmul truncates f32 operands to
+    # bf16, which corrupts the messages (~1e-2 relative); one-hot selection
+    # must carry full f32
+    _dot = functools.partial(
+        jnp.dot,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    def scatter_sum():
+        acc = _dot(cv_ref[0], scat_ref[0])
+        for j in range(1, dc):
+            acc += _dot(cv_ref[j], scat_ref[j])
+        return acc
+
+    weighted_in = w_vc * llr
+    cv_ref[:] = jnp.zeros_like(cv_ref)
+
+    def body(_, carry):
+        total = scatter_sum() + weighted_in
+        mags = []
+        signs = []
+        min1 = min2 = row_sign = None
+        for j in range(dc):
+            g = _dot(total, gath_ref[j])
+            vc = g - cv_ref[j] + bias_ref[j]
+            mag = jnp.abs(vc)
+            sgn = jnp.where(vc > 0.0, 1.0, jnp.where(vc < 0.0, -1.0, 0.0))
+            if j == 0:
+                min1, min2, row_sign = mag, jnp.full_like(mag, _BIG), sgn
+            else:
+                # update min2 with the old min1 BEFORE lowering min1; a
+                # duplicated minimum lands in min2 (the reference top-k rule)
+                min2 = jnp.minimum(min2, jnp.maximum(min1, mag))
+                min1 = jnp.minimum(min1, mag)
+                row_sign = row_sign * sgn
+            mags.append(mag)
+            signs.append(sgn)
+        for j in range(dc):
+            emag = jnp.where(mags[j] > min1, min1, min2)
+            cv_ref[j] = w_chk * emag * (row_sign * signs[j])
+        return carry
+
+    jax.lax.fori_loop(0, num_iterations, body, 0, unroll=False)
+    return scatter_sum()
+
+
+def _decode_kernel(dc, num_iterations, weights_ref, scat_ref, gath_ref,
+                   bias_ref, llr_ref, out_ref, cv_ref):
+    llr = llr_ref[:]
+    colsum = _decode_edge(dc, num_iterations, weights_ref[0], weights_ref[1],
+                          llr, scat_ref, gath_ref, bias_ref, cv_ref)
+    out_ref[:] = colsum + weights_ref[2] * llr
+
+
+def decode_final_edge(
+    params: dict,
+    h,
+    llr: jnp.ndarray,
+    num_iterations: int,
+    variant: str = "NMS-1",
+    block_frames: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Final-iteration soft outputs (B, n); B % block_frames == 0.
+
+    ``h`` must be a concrete (host) array — the edge layout is built at trace
+    time.  Scalar-normalization variants only (as ``nms_pallas``)."""
+    if variant == "NMS-r":
+        raise ValueError("NMS-r uses the XLA path (neural check update)")
+    scatter, gather, bias = edge_layout(h)
+    h_f32 = np.asarray(h, np.float32)
+    return _decode_final_edge_jit(
+        params, scatter, gather, bias, h_f32, llr, num_iterations, variant,
+        block_frames, interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_iterations", "variant", "block_frames", "interpret"),
+)
+def _decode_final_edge_jit(params, scatter, gather, bias, h, llr,
+                           num_iterations, variant, block_frames, interpret):
+    from .nms import _weights
+
+    w_vc, w_chk, w_marg = _weights(params, variant)
+    weights = jnp.stack([w_vc, w_chk, w_marg]).astype(jnp.float32)
+    dc, m, n = scatter.shape
+    batch = llr.shape[0]
+    if batch % block_frames:
+        raise ValueError(f"batch {batch} not a multiple of {block_frames}")
+    grid = (batch // block_frames,)
+    kernel = functools.partial(_decode_kernel, dc, num_iterations)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # weights (3,)
+            pl.BlockSpec((dc, m, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dc, n, m), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dc, 1, m), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_frames, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_frames, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((dc, block_frames, m), jnp.float32)],
+        interpret=interpret,
+    )(weights, jnp.asarray(scatter), jnp.asarray(gather), jnp.asarray(bias),
+      llr.astype(jnp.float32))
+
+
+def _mc_kernel(dc, num_iterations, sigma, mean,
+               scalars_ref,  # SMEM: [seed, w_vc, w_chk, w_marg]
+               scat_ref, gath_ref, bias_ref, h_ref, g_ref,
+               out_ref,  # (1, 8, 128) counter tile (same layout as mc_pallas)
+               cv_ref):
+    seed = scalars_ref[0]
+    w_vc = scalars_ref[1]
+    w_chk = scalars_ref[2]
+    w_marg = scalars_ref[3]
+    h = h_ref[:]
+    g = g_ref[:]
+    k = g.shape[0]
+    bt = cv_ref.shape[1]
+    n = h.shape[1]
+    pltpu.prng_seed(seed.astype(jnp.int32) + pl.program_id(0))
+
+    # --- sample (identical to mc_pallas._mc_kernel) ---
+    msg_bits = pltpu.bitcast(pltpu.prng_random_bits((bt, k)), jnp.int32)
+    msg = jnp.bitwise_and(msg_bits, jnp.int32(1)).astype(jnp.float32)
+    prods = jnp.dot(msg, g, preferred_element_type=jnp.float32)
+    codeword = prods - 2.0 * jnp.floor(prods * 0.5)
+    u1 = _uniform01((bt, n))
+    u2 = _uniform01((bt, n))
+    z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+    received = mean + sigma * z
+    llr = (1.0 - 2.0 * codeword) * received
+
+    # --- decode (edge-compact) ---
+    colsum = _decode_edge(dc, num_iterations, w_vc, w_chk, llr,
+                          scat_ref, gath_ref, bias_ref, cv_ref)
+    soft = colsum + w_marg * llr
+
+    # --- count (identical to mc_pallas._mc_kernel) ---
+    hard = (soft < 0.0).astype(jnp.float32)
+    err = jnp.abs(hard - codeword)
+    frame_err = jnp.max(err, axis=1, keepdims=True)
+    bit_err = jnp.sum(err)
+    synd = jnp.dot(hard, h.T, preferred_element_type=jnp.float32)
+    synd = synd - 2.0 * jnp.floor(synd * 0.5)
+    detected = jnp.max(synd, axis=1, keepdims=True)
+    undetected = jnp.maximum(frame_err - detected, 0.0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
+    vals = (
+        jnp.where(lane == 0, jnp.float32(bt), 0.0)
+        + jnp.where(lane == 1, jnp.sum(frame_err), 0.0)
+        + jnp.where(lane == 2, bit_err, 0.0)
+        + jnp.where(lane == 3, jnp.sum(detected), 0.0)
+        + jnp.where(lane == 4, jnp.sum(undetected), 0.0)
+    )
+    out_ref[:] = jnp.where(row == 0, vals, 0.0)
+
+
+def mc_fused_edge(
+    params_vec: jnp.ndarray,  # [seed, w_vc, w_chk, w_marg] float32
+    h,
+    g,
+    num_iterations: int,
+    batch: int,
+    sigma: float,
+    mean: float = 1.0,
+    block_frames: int = 256,
+    interpret: bool = False,
+):
+    """Fully fused Monte-Carlo step with the edge-compact decoder; returns
+    summed counters [frames, frame_errors, bit_errors, detected, undetected].
+    Drop-in for ``mc_pallas.mc_fused`` (``h`` must be concrete)."""
+    scatter, gather, bias = edge_layout(h)
+    return _mc_fused_edge_jit(
+        params_vec, scatter, gather, bias,
+        np.asarray(h, np.float32), np.asarray(g, np.float32),
+        num_iterations, batch, sigma, mean, block_frames, interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_iterations", "batch", "sigma", "mean", "block_frames", "interpret"
+    ),
+)
+def _mc_fused_edge_jit(params_vec, scatter, gather, bias, h, g,
+                       num_iterations, batch, sigma, mean, block_frames,
+                       interpret):
+    dc, m, n = scatter.shape
+    if batch % block_frames:
+        raise ValueError(f"batch {batch} not a multiple of {block_frames}")
+    grid = (batch // block_frames,)
+    kernel = functools.partial(_mc_kernel, dc, num_iterations, sigma, mean)
+    per_block = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((dc, m, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dc, n, m), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dc, 1, m), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(g.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((grid[0], 8, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((dc, block_frames, m), jnp.float32)],
+        interpret=interpret,
+    )(params_vec, jnp.asarray(scatter), jnp.asarray(gather), jnp.asarray(bias),
+      jnp.asarray(h), jnp.asarray(g))
+    return jnp.sum(per_block[:, 0, :5], axis=0)
+
+
+def fused_counters_edge(code, params, variant, num_iterations, snr_db, batch,
+                        seed, block_frames: int = 256):
+    """Convenience wrapper matching ``mc_pallas.fused_counters``."""
+    from ..channel import sigma_for_snr
+    from .nms import _weights
+
+    w_vc, w_chk, w_marg = _weights(params, variant)
+    vec = jnp.stack([jnp.float32(seed), w_vc, w_chk, w_marg]).astype(jnp.float32)
+    return mc_fused_edge(
+        vec, code.h, code.g, num_iterations, batch,
+        float(sigma_for_snr(snr_db, code.rate)), 1.0, block_frames,
+    )

@@ -1,0 +1,105 @@
+"""Edge-compact Pallas NMS kernel vs the XLA golden (interpret mode).
+
+The edge kernel's matmul reduction trees round differently than the dense
+row sums, so soft outputs match to f32 tolerance (not bitwise); the dense
+kernels (test_nms_pallas) keep the bit-exact guarantee."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from short_ldpc_decoding_osd_tpu.codes import Code, get_code
+from short_ldpc_decoding_osd_tpu.ops import nms
+from short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas import (
+    auto_block_frames,
+    decode_final_edge,
+    edge_layout,
+)
+
+
+@pytest.fixture(scope="module")
+def code():
+    return get_code("ccsds_128_64")
+
+
+def _llr(code, batch, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(1.0, 0.8, (batch, code.n)), jnp.float32)
+
+
+def test_edge_layout_roundtrip(code):
+    scatter, gather, bias = edge_layout(code.h)
+    dc = int(code.h.sum(axis=1).max())
+    assert scatter.shape == (dc, code.m, code.n)
+    # scatter/gather are transposes of each other per edge slot
+    for j in range(dc):
+        np.testing.assert_array_equal(scatter[j].T, gather[j])
+    # summing the one-hots over slots reconstructs H; no dummy edges (regular)
+    np.testing.assert_array_equal(scatter.sum(axis=0), code.h.astype(np.float32))
+    assert not bias.any()
+
+
+def test_edge_decode_matches_xla(code):
+    llr = _llr(code, 64)
+    params = nms.init_params("NMS-1")
+    ref = np.asarray(
+        nms.decode_final(params, jnp.asarray(code.h, jnp.float32), llr, 12, "NMS-1")
+    )
+    got = np.asarray(
+        decode_final_edge(params, code.h, llr, 12, "NMS-1",
+                          block_frames=32, interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
+    assert ((got < 0) == (ref < 0)).mean() >= 0.999
+
+
+def test_edge_decode_irregular_rows():
+    """Dummy-edge padding: rows of differing weight must decode like XLA."""
+    rng = np.random.default_rng(3)
+    while True:
+        h = (rng.uniform(size=(16, 32)) < 0.22).astype(np.uint8)
+        rows = h.sum(axis=1)
+        if rows.min() >= 2 and len(set(rows.tolist())) > 1:
+            try:
+                code = Code.from_parity(h, "irregular_test")
+                break
+            except ValueError:
+                continue
+    scatter, gather, bias = edge_layout(code.h)
+    assert bias.any()  # irregular -> dummy edges exist
+    llr = _llr(code, 32, seed=5)
+    params = nms.init_params("NMS-1")
+    ref = np.asarray(
+        nms.decode_final(params, jnp.asarray(code.h, jnp.float32), llr, 8, "NMS-1")
+    )
+    got = np.asarray(
+        decode_final_edge(params, code.h, llr, 8, "NMS-1",
+                          block_frames=16, interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
+
+
+def test_edge_decode_enms_extended(code):
+    """ENMS decodes with the extended H (mixed row weights -> dummy edges)."""
+    ext = code.extended()
+    llr = _llr(code, 32, seed=7)
+    params = nms.init_params("ENMS")
+    ref = np.asarray(
+        nms.decode_final(params, jnp.asarray(ext.h, jnp.float32), llr, 6, "ENMS")
+    )
+    got = np.asarray(
+        decode_final_edge(params, ext.h, llr, 6, "ENMS",
+                          block_frames=16, interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
+
+
+# NOTE: mc_fused_edge (like mc_pallas.mc_fused) uses pltpu.prng_seed /
+# prng_random_bits, which have no CPU-interpret lowering — its counters are
+# validated against the dense kernel on real hardware by scripts/tpu_smoke.py.
+
+
+def test_auto_block_frames_caps():
+    assert auto_block_frames(64, 128, 8) == 512
+    # huge code: constants alone blow VMEM -> 0 (fall back to XLA/dense)
+    assert auto_block_frames(1024, 2048, 32) == 0
