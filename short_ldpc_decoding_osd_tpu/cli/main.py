@@ -81,9 +81,23 @@ def _parse_snrs(spec: str):
     return np.linspace(float(lo), float(hi), int(num))
 
 
+def _banner(args):
+    """Decoder-selection banner (reference ``display_selection.py:9-14``)."""
+    import os
+
+    print(f"My pid: {os.getpid()}")
+    if getattr(args, "variant", "") == "SPA":
+        print("Using Sum-Product Algorithm")
+    else:
+        print("Using one of Min-Sum variants")
+
+
 def _dispatch(args):
     from ..codes import get_code
     from ..pipeline.recipe import RecipeConfig, RunDir, run_recipe, stage_train_nms
+
+    if args.cmd in ("train-nms", "eval-nms", "sweep"):
+        _banner(args)
 
     if args.cmd == "train-nms":
         from ..train import NMSTrainConfig, train_nms

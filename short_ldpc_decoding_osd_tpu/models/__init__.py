@@ -1,3 +1,4 @@
+from . import extras
 from .dia import (
     DIA_MODELS,
     ConvBitwise,
@@ -10,6 +11,7 @@ from .dia import (
 )
 
 __all__ = [
+    "extras",
     "DIA_MODELS",
     "ConvBitwise",
     "RnnOne",

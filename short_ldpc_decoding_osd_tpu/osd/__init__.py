@@ -1,3 +1,3 @@
-from . import engine, path, segments
+from . import engine, experimental, path, segments
 
-__all__ = ["engine", "path", "segments"]
+__all__ = ["engine", "experimental", "path", "segments"]
