@@ -133,7 +133,9 @@ def identify_mrb(h_batch: jnp.ndarray, k: int):
     if use_pallas:
         from .gf2_pallas import batched_row_reduce_pallas
 
-        block = 16
+        # 64-frame blocks measured fastest on v5e (33.7k vs 18.5k frames/s at
+        # 16); 128 fails VMEM scheduling
+        block = 64
         pad = (-batch) % block
         hb = (
             jnp.concatenate([h_batch, jnp.broadcast_to(h_batch[:1], (pad, m, n))])

@@ -87,22 +87,46 @@ def auto_block_frames(m: int, n: int, dc: int, vmem_bytes: int = 16 * 2**20) -> 
 
 
 def _decode_edge(dc, num_iterations, w_vc, w_chk, llr, scat_ref, gath_ref,
-                 bias_ref, cv_ref):
-    """Shared iteration body; returns the final column sums (block, n)."""
+                 bias_ref, cv_ref, mode="split"):
+    """Shared iteration body; returns the final column sums (block, n).
 
-    # HIGHEST precision: the default TPU matmul truncates f32 operands to
-    # bf16, which corrupts the messages (~1e-2 relative); one-hot selection
-    # must carry full f32
-    _dot = functools.partial(
-        jnp.dot,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    The default TPU matmul truncates f32 operands to bf16, which corrupts the
+    messages (~1e-2 relative per iteration).  Two exactness modes:
+
+    * ``"split"`` (default): 2-pass bf16 hi/lo emulation — the one-hot
+      incidence operand is bf16-exact, so only the message operand needs the
+      split; error ~2^-17 relative per matmul.  2.5x faster than "highest"
+      on v5e (10.2M vs 4.1M codewords/s in the fused MC kernel) with FER
+      statistically identical.
+    * ``"highest"``: Precision.HIGHEST (6-pass) full-f32 matmuls; matches
+      the XLA decoder to ~1e-5 after 12 iterations.
+    """
+    if mode == "split":
+        scat = [scat_ref[j].astype(jnp.bfloat16) for j in range(dc)]
+        gath = [gath_ref[j].astype(jnp.bfloat16) for j in range(dc)]
+
+        def _dot_j(x, mats, j):
+            hi = x.astype(jnp.bfloat16)
+            lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return jnp.dot(
+                hi, mats[j], preferred_element_type=jnp.float32
+            ) + jnp.dot(lo, mats[j], preferred_element_type=jnp.float32)
+
+        dot_scat = functools.partial(_dot_j, mats=scat)
+        dot_gath = functools.partial(_dot_j, mats=gath)
+    else:
+        _hi = functools.partial(
+            jnp.dot,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        dot_scat = lambda x, j: _hi(x, scat_ref[j])
+        dot_gath = lambda x, j: _hi(x, gath_ref[j])
 
     def scatter_sum():
-        acc = _dot(cv_ref[0], scat_ref[0])
+        acc = dot_scat(cv_ref[0], j=0)
         for j in range(1, dc):
-            acc += _dot(cv_ref[j], scat_ref[j])
+            acc += dot_scat(cv_ref[j], j=j)
         return acc
 
     weighted_in = w_vc * llr
@@ -114,7 +138,7 @@ def _decode_edge(dc, num_iterations, w_vc, w_chk, llr, scat_ref, gath_ref,
         signs = []
         min1 = min2 = row_sign = None
         for j in range(dc):
-            g = _dot(total, gath_ref[j])
+            g = dot_gath(total, j=j)
             vc = g - cv_ref[j] + bias_ref[j]
             mag = jnp.abs(vc)
             sgn = jnp.where(vc > 0.0, 1.0, jnp.where(vc < 0.0, -1.0, 0.0))
@@ -137,11 +161,11 @@ def _decode_edge(dc, num_iterations, w_vc, w_chk, llr, scat_ref, gath_ref,
     return scatter_sum()
 
 
-def _decode_kernel(dc, num_iterations, weights_ref, scat_ref, gath_ref,
+def _decode_kernel(dc, num_iterations, mode, weights_ref, scat_ref, gath_ref,
                    bias_ref, llr_ref, out_ref, cv_ref):
     llr = llr_ref[:]
     colsum = _decode_edge(dc, num_iterations, weights_ref[0], weights_ref[1],
-                          llr, scat_ref, gath_ref, bias_ref, cv_ref)
+                          llr, scat_ref, gath_ref, bias_ref, cv_ref, mode)
     out_ref[:] = colsum + weights_ref[2] * llr
 
 
@@ -153,27 +177,32 @@ def decode_final_edge(
     variant: str = "NMS-1",
     block_frames: int = 256,
     interpret: bool = False,
+    mode: str = "split",
 ) -> jnp.ndarray:
     """Final-iteration soft outputs (B, n); B % block_frames == 0.
 
     ``h`` must be a concrete (host) array — the edge layout is built at trace
-    time.  Scalar-normalization variants only (as ``nms_pallas``)."""
+    time.  Scalar-normalization variants only (as ``nms_pallas``).  ``mode``
+    selects the matmul exactness ("split" default / "highest"), see
+    ``_decode_edge``."""
     if variant == "NMS-r":
         raise ValueError("NMS-r uses the XLA path (neural check update)")
     scatter, gather, bias = edge_layout(h)
     h_f32 = np.asarray(h, np.float32)
     return _decode_final_edge_jit(
         params, scatter, gather, bias, h_f32, llr, num_iterations, variant,
-        block_frames, interpret,
+        block_frames, interpret, mode,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_iterations", "variant", "block_frames", "interpret"),
+    static_argnames=("num_iterations", "variant", "block_frames", "interpret",
+                     "mode"),
 )
 def _decode_final_edge_jit(params, scatter, gather, bias, h, llr,
-                           num_iterations, variant, block_frames, interpret):
+                           num_iterations, variant, block_frames, interpret,
+                           mode="split"):
     from .nms import _weights
 
     w_vc, w_chk, w_marg = _weights(params, variant)
@@ -183,7 +212,7 @@ def _decode_final_edge_jit(params, scatter, gather, bias, h, llr,
     if batch % block_frames:
         raise ValueError(f"batch {batch} not a multiple of {block_frames}")
     grid = (batch // block_frames,)
-    kernel = functools.partial(_decode_kernel, dc, num_iterations)
+    kernel = functools.partial(_decode_kernel, dc, num_iterations, mode)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -204,7 +233,7 @@ def _decode_final_edge_jit(params, scatter, gather, bias, h, llr,
       llr.astype(jnp.float32))
 
 
-def _mc_kernel(dc, num_iterations, sigma, mean,
+def _mc_kernel(dc, num_iterations, sigma, mean, mode,
                scalars_ref,  # SMEM: [seed, w_vc, w_chk, w_marg]
                scat_ref, gath_ref, bias_ref, h_ref, g_ref,
                out_ref,  # (1, 8, 128) counter tile (same layout as mc_pallas)
@@ -233,7 +262,7 @@ def _mc_kernel(dc, num_iterations, sigma, mean,
 
     # --- decode (edge-compact) ---
     colsum = _decode_edge(dc, num_iterations, w_vc, w_chk, llr,
-                          scat_ref, gath_ref, bias_ref, cv_ref)
+                          scat_ref, gath_ref, bias_ref, cv_ref, mode)
     soft = colsum + w_marg * llr
 
     # --- count (identical to mc_pallas._mc_kernel) ---
@@ -267,6 +296,7 @@ def mc_fused_edge(
     mean: float = 1.0,
     block_frames: int = 256,
     interpret: bool = False,
+    mode: str = "split",
 ):
     """Fully fused Monte-Carlo step with the edge-compact decoder; returns
     summed counters [frames, frame_errors, bit_errors, detected, undetected].
@@ -275,24 +305,25 @@ def mc_fused_edge(
     return _mc_fused_edge_jit(
         params_vec, scatter, gather, bias,
         np.asarray(h, np.float32), np.asarray(g, np.float32),
-        num_iterations, batch, sigma, mean, block_frames, interpret,
+        num_iterations, batch, sigma, mean, block_frames, interpret, mode,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_iterations", "batch", "sigma", "mean", "block_frames", "interpret"
+        "num_iterations", "batch", "sigma", "mean", "block_frames", "interpret",
+        "mode",
     ),
 )
 def _mc_fused_edge_jit(params_vec, scatter, gather, bias, h, g,
                        num_iterations, batch, sigma, mean, block_frames,
-                       interpret):
+                       interpret, mode="split"):
     dc, m, n = scatter.shape
     if batch % block_frames:
         raise ValueError(f"batch {batch} not a multiple of {block_frames}")
     grid = (batch // block_frames,)
-    kernel = functools.partial(_mc_kernel, dc, num_iterations, sigma, mean)
+    kernel = functools.partial(_mc_kernel, dc, num_iterations, sigma, mean, mode)
     per_block = pl.pallas_call(
         kernel,
         grid=grid,
@@ -316,7 +347,7 @@ def _mc_fused_edge_jit(params_vec, scatter, gather, bias, h, g,
 
 
 def fused_counters_edge(code, params, variant, num_iterations, snr_db, batch,
-                        seed, block_frames: int = 256):
+                        seed, block_frames: int = 256, mode: str = "split"):
     """Convenience wrapper matching ``mc_pallas.fused_counters``."""
     from ..channel import sigma_for_snr
     from .nms import _weights
@@ -326,4 +357,5 @@ def fused_counters_edge(code, params, variant, num_iterations, snr_db, batch,
     return mc_fused_edge(
         vec, code.h, code.g, num_iterations, batch,
         float(sigma_for_snr(snr_db, code.rate)), 1.0, block_frames,
+        mode=mode,
     )

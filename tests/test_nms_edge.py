@@ -47,9 +47,24 @@ def test_edge_decode_matches_xla(code):
     )
     got = np.asarray(
         decode_final_edge(params, code.h, llr, 12, "NMS-1",
-                          block_frames=32, interpret=True)
+                          block_frames=32, interpret=True, mode="highest")
     )
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
+    assert ((got < 0) == (ref < 0)).mean() >= 0.999
+
+
+def test_edge_decode_split_mode(code):
+    """bf16 hi/lo split matmuls: ~2^-17 per-op error; hard decisions agree."""
+    llr = _llr(code, 64)
+    params = nms.init_params("NMS-1")
+    ref = np.asarray(
+        nms.decode_final(params, jnp.asarray(code.h, jnp.float32), llr, 12, "NMS-1")
+    )
+    got = np.asarray(
+        decode_final_edge(params, code.h, llr, 12, "NMS-1",
+                          block_frames=32, interpret=True, mode="split")
+    )
+    np.testing.assert_allclose(got, ref, atol=5e-3, rtol=5e-3)
     assert ((got < 0) == (ref < 0)).mean() >= 0.999
 
 
@@ -74,7 +89,7 @@ def test_edge_decode_irregular_rows():
     )
     got = np.asarray(
         decode_final_edge(params, code.h, llr, 8, "NMS-1",
-                          block_frames=16, interpret=True)
+                          block_frames=16, interpret=True, mode="highest")
     )
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
 
@@ -89,7 +104,7 @@ def test_edge_decode_enms_extended(code):
     )
     got = np.asarray(
         decode_final_edge(params, ext.h, llr, 6, "ENMS",
-                          block_frames=16, interpret=True)
+                          block_frames=16, interpret=True, mode="highest")
     )
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
 
