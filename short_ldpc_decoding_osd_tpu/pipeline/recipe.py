@@ -222,6 +222,9 @@ def stage_eval_sweep(cfg: RecipeConfig, run: RunDir, nms_params, model, dia_para
     teps_j, mask_j = jnp.asarray(teps), jnp.asarray(mask)
     h = jnp.asarray(code.h)
     fcn = stopper_engine_params(s_params)
+    osd_step = engine.make_dl_osd_step(
+        model, h, code.k, window=cfg.window, soft_margin=cfg.soft_margin
+    )
     from ..mc.harness import iteration_ce_list
     from ..utils.profiling import JsonlLogger
 
@@ -252,11 +255,9 @@ def stage_eval_sweep(cfg: RecipeConfig, run: RunDir, nms_params, model, dia_para
         if n_osd:
             traj = jnp.asarray(fb.trajectories[:n_osd], jnp.float32)
             labs = jnp.asarray(fb.labels[:n_osd], jnp.int32)
-            refined = model.refine(dia_params, traj)
-            prep = engine.prepare(refined, traj[:, 0], labs, h, code.k)
-            out = engine.sliding_osd(
-                prep, teps_j, mask_j, acc, fcn, code.k,
-                window=cfg.window, soft_margin=cfg.soft_margin,
+            out, refined = osd_step(
+                dia_params, traj, labs, teps_j, mask_j,
+                jnp.asarray(acc, jnp.int32), fcn,
             )
             succ = np.asarray(out["success"])
             osd_stats = {

@@ -137,3 +137,48 @@ def test_mrb_patterns_zero_for_clean_frames(code):
         jnp.asarray(clean), jnp.asarray(words), jnp.asarray(code.h), code.k
     )
     assert not np.asarray(patterns).any()
+
+
+def test_dl_osd_step_matches_chained(code):
+    """The fully-jitted step (refine_fast -> prepare -> sliding_osd) agrees
+    with the chained calls using the same fast refiner."""
+    import jax
+
+    from short_ldpc_decoding_osd_tpu.models import make_dia
+
+    t1 = 7  # conv stack needs T+1 >= 7 (three valid k=3 convs)
+    rng = np.random.default_rng(7)
+    _, original, words = _failure_like_batch(code, 8, 7)
+    traj = np.stack(
+        [original + rng.normal(0, 0.3, original.shape) for _ in range(t1)], axis=1
+    ).astype(np.float32)
+    model = make_dia("model_cnn", code.n, t1)
+    dia_params = model.init(jax.random.PRNGKey(0), jnp.zeros((code.n, t1, 1)))
+    decoding_path = [[0] * 6, [1, 0, 0, 0, 0, 0], [0, 1, 0, 0, 0, 0],
+                     [0, 0, 1, 0, 0, 0], [1, 1, 0, 0, 0, 0], [0, 0, 0, 1, 0, 0],
+                     [0, 2, 0, 0, 0, 0], [1, 0, 1, 0, 0, 0]]
+    blocks, acc = segments.build_tep_blocks(decoding_path, code.k)
+    teps, mask = segments.stack_padded_blocks(blocks)
+    fcn_rng = np.random.default_rng(1)
+    fcn = {
+        "w1": jnp.asarray(fcn_rng.normal(0, 0.4, (6, 6)), jnp.float32),
+        "w2": jnp.asarray(fcn_rng.normal(0, 0.4, (6, 2)), jnp.float32),
+    }
+    traj_j = jnp.asarray(traj)
+    labs = jnp.asarray(words)
+
+    step = engine.make_dl_osd_step(model, code.h, code.k)
+    out_step, refined_step = step(
+        dia_params, traj_j, labs, jnp.asarray(teps), jnp.asarray(mask),
+        jnp.asarray(acc, jnp.int32), fcn,
+    )
+
+    refined = model.refine_fast(dia_params, traj_j)
+    prep = engine.prepare(refined, traj_j[:, 0], labs, jnp.asarray(code.h), code.k)
+    out = engine.sliding_osd(prep, jnp.asarray(teps), jnp.asarray(mask), acc, fcn, code.k)
+
+    np.testing.assert_allclose(np.asarray(refined_step), np.asarray(refined), rtol=1e-6)
+    for key in ("success", "strict_success", "complexity", "window_num", "deep_limit"):
+        np.testing.assert_array_equal(
+            np.asarray(out_step[key]), np.asarray(out[key]), err_msg=key
+        )
