@@ -20,6 +20,10 @@ import time
 import numpy as np
 
 BATCH = int(os.environ.get("BENCH_BATCH", 2097152))
+# "bf16": single-pass bf16 matmuls in the edge kernel — validated
+# statistically indistinguishable from the 2-pass split mode at this
+# operating point (scripts/fer_mode_check.py: z = -0.03 over 2x8.4M frames)
+MODE = os.environ.get("BENCH_MODE", "bf16")
 ITERS = int(os.environ.get("BENCH_ITERS", 12))
 SNR_DB = float(os.environ.get("BENCH_SNR", 3.0))
 STEPS = int(os.environ.get("BENCH_STEPS", 4))
@@ -87,7 +91,8 @@ def tpu_nms_throughput(code) -> tuple[float, dict]:
     # PRNG sample + MXU encode + check-centric VMEM NMS (one-hot MXU
     # scatter/gather) + syndrome counting; ~zero HBM traffic per frame
     counters = fused_counters_edge(
-        code, params, "NMS-1", ITERS, SNR_DB, BATCH, seed=0, block_frames=BLOCK
+        code, params, "NMS-1", ITERS, SNR_DB, BATCH, seed=0, block_frames=BLOCK,
+        mode=MODE,
     )
     np.asarray(counters)  # host transfer forces completion (axon's
     # block_until_ready does not reliably block)
@@ -95,7 +100,7 @@ def tpu_nms_throughput(code) -> tuple[float, dict]:
     for i in range(STEPS):
         counters = fused_counters_edge(
             code, params, "NMS-1", ITERS, SNR_DB, BATCH, seed=1 + i,
-            block_frames=BLOCK,
+            block_frames=BLOCK, mode=MODE,
         )
         np.asarray(counters)
     dt = time.perf_counter() - t0

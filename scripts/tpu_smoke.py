@@ -65,13 +65,14 @@ def main() -> int:
     # --- edge NMS kernel: f32 tolerance vs XLA, both matmul modes ---
     llr512 = jnp.asarray(rng.normal(1.0, 0.8, (512, code.n)), jnp.float32)
     ref = np.asarray(nms.decode_final(params, h, llr512, 12, "NMS-1"))
-    for mode, atol in (("highest", 1e-3), ("split", 5e-3)):
+    for mode, atol in (("highest", 1e-3), ("split", 5e-3), ("bf16", 0.3)):
         got = np.asarray(
             decode_final_edge(params, code.h, llr512, 12, "NMS-1", 512, mode=mode)
         )
         tol_ok = np.allclose(got, ref, atol=atol, rtol=atol)
         hard = ((got < 0) == (ref < 0)).mean()
-        check(f"nms_edge[{mode}] tolerance", tol_ok and hard >= 0.999,
+        hard_min = 0.995 if mode == "bf16" else 0.999
+        check(f"nms_edge[{mode}] tolerance", tol_ok and hard >= hard_min,
               f"maxdiff={np.abs(ref - got).max():.2e} hard={hard:.5f}")
 
     # --- GE kernel: bitwise vs XLA on permuted H ---

@@ -114,6 +114,22 @@ def _decode_edge(dc, num_iterations, w_vc, w_chk, llr, scat_ref, gath_ref,
 
         dot_scat = functools.partial(_dot_j, mats=scat)
         dot_gath = functools.partial(_dot_j, mats=gath)
+    elif mode == "bf16":
+        # single-pass bf16: messages truncated to 8 mantissa bits per matmul
+        # (~2^-9 relative per iteration).  Only acceptable when validated
+        # statistically against the split mode (see scripts/fer_mode_check.py
+        # and tests/test_nms_edge.py) — min-sum is tie-sensitive.
+        scat = [scat_ref[j].astype(jnp.bfloat16) for j in range(dc)]
+        gath = [gath_ref[j].astype(jnp.bfloat16) for j in range(dc)]
+
+        def _dot_j(x, mats, j):
+            return jnp.dot(
+                x.astype(jnp.bfloat16), mats[j],
+                preferred_element_type=jnp.float32,
+            )
+
+        dot_scat = functools.partial(_dot_j, mats=scat)
+        dot_gath = functools.partial(_dot_j, mats=gath)
     else:
         _hi = functools.partial(
             jnp.dot,

@@ -118,3 +118,20 @@ def test_auto_block_frames_caps():
     assert auto_block_frames(64, 128, 8) == 512
     # huge code: constants alone blow VMEM -> 0 (fall back to XLA/dense)
     assert auto_block_frames(1024, 2048, 32) == 0
+
+
+def test_edge_decode_bf16_mode(code):
+    """Single-pass bf16 matmuls: coarse soft values but hard decisions must
+    still overwhelmingly agree (FER equivalence is validated statistically on
+    hardware, scripts/fer_mode_check.py)."""
+    llr = _llr(code, 64)
+    params = nms.init_params("NMS-1")
+    ref = np.asarray(
+        nms.decode_final(params, jnp.asarray(code.h, jnp.float32), llr, 12, "NMS-1")
+    )
+    got = np.asarray(
+        decode_final_edge(params, code.h, llr, 12, "NMS-1",
+                          block_frames=32, interpret=True, mode="bf16")
+    )
+    np.testing.assert_allclose(got, ref, atol=0.3, rtol=0.3)
+    assert ((got < 0) == (ref < 0)).mean() >= 0.995
