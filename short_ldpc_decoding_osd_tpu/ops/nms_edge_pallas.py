@@ -61,13 +61,17 @@ def _edge_layout_cached(h_bytes: bytes, m: int, n: int):
                 gather[j, cols[j], c] = 1.0
             else:
                 bias[j, 0, c] = _BIAS
-    return scatter, gather, bias
+    # which slabs contain dummy edges (none for row-regular codes): slabs
+    # with an all-zero bias can skip the bias add in the iteration body
+    slab_has_dummy = tuple(bool(bias[j].any()) for j in range(dc))
+    return scatter, gather, bias, slab_has_dummy
 
 
-def edge_layout(h) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def edge_layout(h):
     """One-hot scatter/gather incidence matrices + dummy-edge bias for ``h``.
 
-    Returns (scatter (dc,m,n), gather (dc,n,m), bias (dc,1,m)) f32 arrays."""
+    Returns (scatter (dc,m,n), gather (dc,n,m), bias (dc,1,m),
+    slab_has_dummy (dc,) bools) — f32 arrays."""
     h = np.asarray(h, dtype=np.uint8)
     return _edge_layout_cached(h.tobytes(), *h.shape)
 
@@ -87,7 +91,7 @@ def auto_block_frames(m: int, n: int, dc: int, vmem_bytes: int = 16 * 2**20) -> 
 
 
 def _decode_edge(dc, num_iterations, w_vc, w_chk, llr, scat_ref, gath_ref,
-                 bias_ref, cv_ref, mode="split"):
+                 bias_ref, cv_ref, mode="split", slab_has_dummy=None):
     """Shared iteration body; returns the final column sums (block, n).
 
     The default TPU matmul truncates f32 operands to bf16, which corrupts the
@@ -105,9 +109,13 @@ def _decode_edge(dc, num_iterations, w_vc, w_chk, llr, scat_ref, gath_ref,
         scat = [scat_ref[j].astype(jnp.bfloat16) for j in range(dc)]
         gath = [gath_ref[j].astype(jnp.bfloat16) for j in range(dc)]
 
-        def _dot_j(x, mats, j):
+        def _cast(x):
             hi = x.astype(jnp.bfloat16)
             lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return hi, lo
+
+        def _dot_j(xc, mats, j):
+            hi, lo = xc
             return jnp.dot(
                 hi, mats[j], preferred_element_type=jnp.float32
             ) + jnp.dot(lo, mats[j], preferred_element_type=jnp.float32)
@@ -122,11 +130,11 @@ def _decode_edge(dc, num_iterations, w_vc, w_chk, llr, scat_ref, gath_ref,
         scat = [scat_ref[j].astype(jnp.bfloat16) for j in range(dc)]
         gath = [gath_ref[j].astype(jnp.bfloat16) for j in range(dc)]
 
-        def _dot_j(x, mats, j):
-            return jnp.dot(
-                x.astype(jnp.bfloat16), mats[j],
-                preferred_element_type=jnp.float32,
-            )
+        def _cast(x):
+            return x.astype(jnp.bfloat16)
+
+        def _dot_j(xc, mats, j):
+            return jnp.dot(xc, mats[j], preferred_element_type=jnp.float32)
 
         dot_scat = functools.partial(_dot_j, mats=scat)
         dot_gath = functools.partial(_dot_j, mats=gath)
@@ -136,26 +144,34 @@ def _decode_edge(dc, num_iterations, w_vc, w_chk, llr, scat_ref, gath_ref,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+        _cast = lambda x: x
         dot_scat = lambda x, j: _hi(x, scat_ref[j])
         dot_gath = lambda x, j: _hi(x, gath_ref[j])
 
     def scatter_sum():
-        acc = dot_scat(cv_ref[0], j=0)
+        # operand cast happens once per slab here (messages differ per slab);
+        # the gather side casts `total` once per iteration (hoisted below)
+        acc = dot_scat(_cast(cv_ref[0]), j=0)
         for j in range(1, dc):
-            acc += dot_scat(cv_ref[j], j=j)
+            acc += dot_scat(_cast(cv_ref[j]), j=j)
         return acc
 
     weighted_in = w_vc * llr
     cv_ref[:] = jnp.zeros_like(cv_ref)
 
+    dummy = slab_has_dummy if slab_has_dummy is not None else (True,) * dc
+
     def body(_, carry):
         total = scatter_sum() + weighted_in
+        total_c = _cast(total)  # hoisted: one cast for all dc gather matmuls
         mags = []
         signs = []
         min1 = min2 = row_sign = None
         for j in range(dc):
-            g = dot_gath(total, j=j)
-            vc = g - cv_ref[j] + bias_ref[j]
+            g = dot_gath(total_c, j=j)
+            vc = g - cv_ref[j]
+            if dummy[j]:  # all-zero bias slabs skip the add (regular codes)
+                vc = vc + bias_ref[j]
             mag = jnp.abs(vc)
             sgn = jnp.where(vc > 0.0, 1.0, jnp.where(vc < 0.0, -1.0, 0.0))
             if j == 0:
@@ -168,20 +184,24 @@ def _decode_edge(dc, num_iterations, w_vc, w_chk, llr, scat_ref, gath_ref,
                 row_sign = row_sign * sgn
             mags.append(mag)
             signs.append(sgn)
+        # hoist the normalization out of the per-slab multiply chain
+        wmin1 = w_chk * min1
+        wmin2 = w_chk * min2
         for j in range(dc):
-            emag = jnp.where(mags[j] > min1, min1, min2)
-            cv_ref[j] = w_chk * emag * (row_sign * signs[j])
+            emag = jnp.where(mags[j] > min1, wmin1, wmin2)
+            cv_ref[j] = emag * (row_sign * signs[j])
         return carry
 
     jax.lax.fori_loop(0, num_iterations, body, 0, unroll=False)
     return scatter_sum()
 
 
-def _decode_kernel(dc, num_iterations, mode, weights_ref, scat_ref, gath_ref,
-                   bias_ref, llr_ref, out_ref, cv_ref):
+def _decode_kernel(dc, num_iterations, mode, slab_has_dummy, weights_ref,
+                   scat_ref, gath_ref, bias_ref, llr_ref, out_ref, cv_ref):
     llr = llr_ref[:]
     colsum = _decode_edge(dc, num_iterations, weights_ref[0], weights_ref[1],
-                          llr, scat_ref, gath_ref, bias_ref, cv_ref, mode)
+                          llr, scat_ref, gath_ref, bias_ref, cv_ref, mode,
+                          slab_has_dummy)
     out_ref[:] = colsum + weights_ref[2] * llr
 
 
@@ -203,22 +223,22 @@ def decode_final_edge(
     ``_decode_edge``."""
     if variant == "NMS-r":
         raise ValueError("NMS-r uses the XLA path (neural check update)")
-    scatter, gather, bias = edge_layout(h)
+    scatter, gather, bias, slab_has_dummy = edge_layout(h)
     h_f32 = np.asarray(h, np.float32)
     return _decode_final_edge_jit(
         params, scatter, gather, bias, h_f32, llr, num_iterations, variant,
-        block_frames, interpret, mode,
+        block_frames, interpret, mode, slab_has_dummy,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_iterations", "variant", "block_frames", "interpret",
-                     "mode"),
+                     "mode", "slab_has_dummy"),
 )
 def _decode_final_edge_jit(params, scatter, gather, bias, h, llr,
                            num_iterations, variant, block_frames, interpret,
-                           mode="split"):
+                           mode="split", slab_has_dummy=None):
     from .nms import _weights
 
     w_vc, w_chk, w_marg = _weights(params, variant)
@@ -228,7 +248,8 @@ def _decode_final_edge_jit(params, scatter, gather, bias, h, llr,
     if batch % block_frames:
         raise ValueError(f"batch {batch} not a multiple of {block_frames}")
     grid = (batch // block_frames,)
-    kernel = functools.partial(_decode_kernel, dc, num_iterations, mode)
+    kernel = functools.partial(_decode_kernel, dc, num_iterations, mode,
+                               slab_has_dummy)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -249,7 +270,7 @@ def _decode_final_edge_jit(params, scatter, gather, bias, h, llr,
       llr.astype(jnp.float32))
 
 
-def _mc_kernel(dc, num_iterations, sigma, mean, mode,
+def _mc_kernel(dc, num_iterations, sigma, mean, mode, slab_has_dummy,
                scalars_ref,  # SMEM: [seed, w_vc, w_chk, w_marg]
                scat_ref, gath_ref, bias_ref, h_ref, g_ref,
                out_ref,  # (1, 8, 128) counter tile (same layout as mc_pallas)
@@ -278,7 +299,8 @@ def _mc_kernel(dc, num_iterations, sigma, mean, mode,
 
     # --- decode (edge-compact) ---
     colsum = _decode_edge(dc, num_iterations, w_vc, w_chk, llr,
-                          scat_ref, gath_ref, bias_ref, cv_ref, mode)
+                          scat_ref, gath_ref, bias_ref, cv_ref, mode,
+                          slab_has_dummy)
     soft = colsum + w_marg * llr
 
     # --- count (identical to mc_pallas._mc_kernel) ---
@@ -317,11 +339,12 @@ def mc_fused_edge(
     """Fully fused Monte-Carlo step with the edge-compact decoder; returns
     summed counters [frames, frame_errors, bit_errors, detected, undetected].
     Drop-in for ``mc_pallas.mc_fused`` (``h`` must be concrete)."""
-    scatter, gather, bias = edge_layout(h)
+    scatter, gather, bias, slab_has_dummy = edge_layout(h)
     return _mc_fused_edge_jit(
         params_vec, scatter, gather, bias,
         np.asarray(h, np.float32), np.asarray(g, np.float32),
         num_iterations, batch, sigma, mean, block_frames, interpret, mode,
+        slab_has_dummy,
     )
 
 
@@ -329,17 +352,18 @@ def mc_fused_edge(
     jax.jit,
     static_argnames=(
         "num_iterations", "batch", "sigma", "mean", "block_frames", "interpret",
-        "mode",
+        "mode", "slab_has_dummy",
     ),
 )
 def _mc_fused_edge_jit(params_vec, scatter, gather, bias, h, g,
                        num_iterations, batch, sigma, mean, block_frames,
-                       interpret, mode="split"):
+                       interpret, mode="split", slab_has_dummy=None):
     dc, m, n = scatter.shape
     if batch % block_frames:
         raise ValueError(f"batch {batch} not a multiple of {block_frames}")
     grid = (batch // block_frames,)
-    kernel = functools.partial(_mc_kernel, dc, num_iterations, sigma, mean, mode)
+    kernel = functools.partial(_mc_kernel, dc, num_iterations, sigma, mean,
+                               mode, slab_has_dummy)
     per_block = pl.pallas_call(
         kernel,
         grid=grid,

@@ -28,7 +28,7 @@ def _llr(code, batch, seed=0):
 
 
 def test_edge_layout_roundtrip(code):
-    scatter, gather, bias = edge_layout(code.h)
+    scatter, gather, bias, slab_has_dummy = edge_layout(code.h)
     dc = int(code.h.sum(axis=1).max())
     assert scatter.shape == (dc, code.m, code.n)
     # scatter/gather are transposes of each other per edge slot
@@ -80,7 +80,7 @@ def test_edge_decode_irregular_rows():
                 break
             except ValueError:
                 continue
-    scatter, gather, bias = edge_layout(code.h)
+    scatter, gather, bias, slab_has_dummy = edge_layout(code.h)
     assert bias.any()  # irregular -> dummy edges exist
     llr = _llr(code, 32, seed=5)
     params = nms.init_params("NMS-1")
