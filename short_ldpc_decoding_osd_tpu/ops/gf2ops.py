@@ -150,9 +150,20 @@ def identify_mrb(h_batch: jnp.ndarray, k: int):
     sort_idx = jnp.argsort(mrb_cols, axis=1)
     mrb_sorted = jnp.take_along_axis(mrb_cols, sort_idx, axis=1)
     index_order = jnp.concatenate([col_order[:, : n - k], mrb_sorted], axis=1)
-    m_matrix = jnp.take_along_axis(
-        reduced[:, :, -k:], sort_idx[:, None, :], axis=2
-    )
+    # MRB column re-sort as a one-hot MXU matmul (0/1 operands are bf16-exact
+    # with single-term sums -> exact at any precision); a per-frame
+    # take_along_axis over (B, m, k) serializes badly on TPU
+    oh_sort = (
+        sort_idx[:, None, :] == jnp.arange(k, dtype=sort_idx.dtype)[None, :, None]
+    ).astype(jnp.bfloat16)  # (B, k_src, k_pos)
+    m_matrix = (
+        jnp.einsum(
+            "bmj,bjp->bmp",
+            reduced[:, :, -k:].astype(jnp.bfloat16),
+            oh_sort,
+            preferred_element_type=jnp.float32,
+        )
+    ).astype(jnp.int8)
     swap_len = jnp.sum((mrb_cols < n - k).astype(jnp.int32), axis=1)
     return {
         "m_matrix": m_matrix,

@@ -56,12 +56,25 @@ def prepare(updated, original, labels, h, k: int) -> PreparedBatch:
     perm, h_p = gf2ops.reliability_sort(updated, h)
     mrb_info = gf2ops.identify_mrb(h_p, k)
     index_order = mrb_info["index_order"]
-    # compose: final position -> original position
-    full_perm = jnp.take_along_axis(perm, index_order, axis=1)
-    gather = lambda x: jnp.take_along_axis(x, full_perm, axis=1)
-    order_updated = gather(updated)
-    order_original = gather(original)
-    order_labels = gather(labels.astype(jnp.int8))
+    # Apply the composed permutation (final position -> original position,
+    # full_perm = perm[index_order]) to the per-bit vectors as two batched
+    # one-hot matmuls instead of per-frame take_along_axis gathers (those
+    # serialize badly on TPU).  With Precision.HIGHEST the 3-way bf16 split
+    # represents every f32 operand exactly and each output entry is a
+    # single-term sum, so the "gather" is bit-exact.
+    n = updated.shape[1]
+    ar = jnp.arange(n, dtype=index_order.dtype)
+    oh_perm = (perm[:, :, None] == ar[None, None, :]).astype(jnp.float32)
+    oh_io = (index_order[:, :, None] == ar[None, None, :]).astype(jnp.float32)
+    v = jnp.stack(
+        [updated, original, labels.astype(jnp.float32)], axis=1
+    )  # (B, 3, n)
+    hi = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("bvj,bqj->bvq", v, oh_perm, precision=hi)  # x[perm[q]]
+    z = jnp.einsum("bvq,bpq->bvp", y, oh_io, precision=hi)  # y[index_order[p]]
+    order_updated = z[:, 0]
+    order_original = z[:, 1]
+    order_labels = z[:, 2].astype(jnp.int8)
     hard_original = (order_original <= 0).astype(jnp.int8)
     hard_updated = (order_updated <= 0).astype(jnp.int8)
     mag_original = jnp.abs(order_original)

@@ -182,3 +182,29 @@ def test_dl_osd_step_matches_chained(code):
         np.testing.assert_array_equal(
             np.asarray(out_step[key]), np.asarray(out[key]), err_msg=key
         )
+
+
+def test_prepare_matches_gather_reference(code):
+    """The one-hot-matmul 'gathers' in prepare are bit-exact vs
+    take_along_axis (single-term sums under Precision.HIGHEST)."""
+    from short_ldpc_decoding_osd_tpu.ops import gf2ops
+
+    updated, original, words = _failure_like_batch(code, 16, 31)
+    h = jnp.asarray(code.h)
+    prep = engine.prepare(
+        jnp.asarray(updated), jnp.asarray(original), jnp.asarray(words), h, code.k
+    )
+    perm, h_p = gf2ops.reliability_sort(jnp.asarray(updated), h)
+    mrb_info = gf2ops.identify_mrb(h_p, code.k)
+    full_perm = jnp.take_along_axis(perm, mrb_info["index_order"], axis=1)
+    gather = lambda x: jnp.take_along_axis(jnp.asarray(x), full_perm, axis=1)
+    np.testing.assert_array_equal(
+        np.asarray(prep.order_updated), np.asarray(gather(updated))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(prep.order_original), np.asarray(gather(original))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(prep.order_labels),
+        np.asarray(gather(words.astype(np.int8))),
+    )
