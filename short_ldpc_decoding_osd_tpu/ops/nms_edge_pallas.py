@@ -7,11 +7,17 @@ real edges — a 16x lane waste for the (128,64) code (64x128 mask, row degree
 ``(block, m)``; the variable dimension appears only in two batched matmuls
 per iteration against constant one-hot edge-incidence matrices:
 
-  scatter:  colsum[b, v] = sum_j (cv_j @ S_j)[b, v]   (column sums)
-  gather:   g_j[b, c]    = (total @ G_j)[b, c]        (per-edge column totals)
+  scatter:  colsum[b, v] = (cv_flat @ S)[b, v]    S: (dc*m, n) stacked
+  gather:   g_flat[b, :] = (total @ G)[b, :]      G: (n, dc*m) stacked
 
 which the MXU does essentially for free.  Per-iteration VPU element work
-drops ~30x vs the dense kernels.
+drops ~30x vs the dense kernels.  The dc per-slab incidence matmuls are
+STACKED along the contraction/output dimension into a single matmul each
+(K = dc*m for scatter, N = dc*m for gather): with m = 64 the per-slab
+shapes only half-fill the 128-deep systolic array and pay dc separate
+issue latencies; the stacked form runs full-depth with one issue per
+direction per iteration (measured 1.3-1.5x on v5e).  The cv messages live
+as one (block, dc*m) VMEM slab; per-edge views are static lane slices.
 
 The math is identical to ``ops.nms.decode_final`` (reference
 ``ms_decoder_dense.py:121-134,177-207``): min/submin with the
@@ -76,6 +82,26 @@ def edge_layout(h):
     return _edge_layout_cached(h.tobytes(), *h.shape)
 
 
+@functools.lru_cache(maxsize=16)
+def _edge_layout_stacked_cached(h_bytes: bytes, m: int, n: int):
+    scatter, gather, bias, slab_has_dummy = _edge_layout_cached(h_bytes, m, n)
+    dc = scatter.shape[0]
+    scat = np.ascontiguousarray(scatter.reshape(dc * m, n))
+    gath = np.ascontiguousarray(np.transpose(gather, (1, 0, 2)).reshape(n, dc * m))
+    return scat, gath, np.ascontiguousarray(bias.reshape(1, dc * m)), slab_has_dummy
+
+
+def edge_layout_stacked(h):
+    """Stacked incidence forms for the single-matmul iteration body.
+
+    Returns (scat (dc*m, n), gath (n, dc*m), bias (1, dc*m), slab_has_dummy):
+    ``(cv_flat @ scat)`` is the column sum over all edges, and
+    ``(total @ gath)[:, j*m:(j+1)*m]`` is slab ``j``'s per-edge column
+    totals."""
+    h = np.asarray(h, dtype=np.uint8)
+    return _edge_layout_stacked_cached(h.tobytes(), *h.shape)
+
+
 def auto_block_frames(m: int, n: int, dc: int, vmem_bytes: int = 16 * 2**20) -> int:
     """Largest power-of-two frame block fitting scoped VMEM: constant
     matrices (2*dc*m*n + h) + ~28 live (block, m) slabs (cv/mag/sign/vc per
@@ -94,106 +120,105 @@ def _decode_edge(dc, num_iterations, w_vc, w_chk, llr, scat_ref, gath_ref,
                  bias_ref, cv_ref, mode="split", slab_has_dummy=None):
     """Shared iteration body; returns the final column sums (block, n).
 
-    The default TPU matmul truncates f32 operands to bf16, which corrupts the
-    messages (~1e-2 relative per iteration).  Two exactness modes:
+    Refs are the STACKED layout (``edge_layout_stacked``): scat (dc*m, n),
+    gath (n, dc*m), bias (1, dc*m), cv scratch (block, dc*m) — one matmul
+    per direction per iteration instead of dc small ones.
 
-    * ``"split"`` (default): 2-pass bf16 hi/lo emulation — the one-hot
-      incidence operand is bf16-exact, so only the message operand needs the
-      split; error ~2^-17 relative per matmul.  2.5x faster than "highest"
-      on v5e (10.2M vs 4.1M codewords/s in the fused MC kernel) with FER
-      statistically identical.
+    The default TPU matmul truncates f32 operands to bf16, which corrupts the
+    messages (~1e-2 relative per iteration).  Exactness modes:
+
+    * ``"split"``: 2-pass bf16 hi/lo emulation — the one-hot incidence
+      operand is bf16-exact, so only the message operand needs the split;
+      error ~2^-17 relative per matmul, FER statistically identical to
+      "highest".
+    * ``"bf16"``: single-pass, messages truncated to 8 mantissa bits per
+      matmul (~2^-9 relative per iteration).  Only acceptable because it is
+      validated statistically against the split mode (see
+      scripts/fer_mode_check.py and tests/test_nms_edge.py) — min-sum is
+      tie-sensitive.
     * ``"highest"``: Precision.HIGHEST (6-pass) full-f32 matmuls; matches
       the XLA decoder to ~1e-5 after 12 iterations.
     """
+    m = gath_ref.shape[1] // dc
     if mode == "split":
-        scat = [scat_ref[j].astype(jnp.bfloat16) for j in range(dc)]
-        gath = [gath_ref[j].astype(jnp.bfloat16) for j in range(dc)]
+        scat = scat_ref[:].astype(jnp.bfloat16)
+        gath = gath_ref[:].astype(jnp.bfloat16)
 
-        def _cast(x):
+        def _dot(x, mat):
             hi = x.astype(jnp.bfloat16)
             lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            return hi, lo
-
-        def _dot_j(xc, mats, j):
-            hi, lo = xc
             return jnp.dot(
-                hi, mats[j], preferred_element_type=jnp.float32
-            ) + jnp.dot(lo, mats[j], preferred_element_type=jnp.float32)
+                hi, mat, preferred_element_type=jnp.float32
+            ) + jnp.dot(lo, mat, preferred_element_type=jnp.float32)
 
-        dot_scat = functools.partial(_dot_j, mats=scat)
-        dot_gath = functools.partial(_dot_j, mats=gath)
+        dot_scat = lambda x: _dot(x, scat)
+        dot_gath = lambda x: _dot(x, gath)
     elif mode == "bf16":
-        # single-pass bf16: messages truncated to 8 mantissa bits per matmul
-        # (~2^-9 relative per iteration).  Only acceptable when validated
-        # statistically against the split mode (see scripts/fer_mode_check.py
-        # and tests/test_nms_edge.py) — min-sum is tie-sensitive.
-        scat = [scat_ref[j].astype(jnp.bfloat16) for j in range(dc)]
-        gath = [gath_ref[j].astype(jnp.bfloat16) for j in range(dc)]
-
-        def _cast(x):
-            return x.astype(jnp.bfloat16)
-
-        def _dot_j(xc, mats, j):
-            return jnp.dot(xc, mats[j], preferred_element_type=jnp.float32)
-
-        dot_scat = functools.partial(_dot_j, mats=scat)
-        dot_gath = functools.partial(_dot_j, mats=gath)
+        scat = scat_ref[:].astype(jnp.bfloat16)
+        gath = gath_ref[:].astype(jnp.bfloat16)
+        dot_scat = lambda x: jnp.dot(
+            x.astype(jnp.bfloat16), scat, preferred_element_type=jnp.float32)
+        dot_gath = lambda x: jnp.dot(
+            x.astype(jnp.bfloat16), gath, preferred_element_type=jnp.float32)
     else:
         _hi = functools.partial(
             jnp.dot,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        _cast = lambda x: x
-        dot_scat = lambda x, j: _hi(x, scat_ref[j])
-        dot_gath = lambda x, j: _hi(x, gath_ref[j])
-
-    def scatter_sum():
-        # operand cast happens once per slab here (messages differ per slab);
-        # the gather side casts `total` once per iteration (hoisted below)
-        acc = dot_scat(_cast(cv_ref[0]), j=0)
-        for j in range(1, dc):
-            acc += dot_scat(_cast(cv_ref[j]), j=j)
-        return acc
+        dot_scat = lambda x: _hi(x, scat_ref[:])
+        dot_gath = lambda x: _hi(x, gath_ref[:])
 
     weighted_in = w_vc * llr
     cv_ref[:] = jnp.zeros_like(cv_ref)
+    any_dummy = (any(slab_has_dummy) if slab_has_dummy is not None else True)
+    block = llr.shape[0]
+    # independent row-chunk chains inside one loop body: the scheduler can
+    # overlap chunk A's VPU tournament with chunk B's matmuls (the single
+    # chain leaves MXU and VPU each ~25% occupied)
+    chunks = 2 if block % 2 == 0 and block >= 128 else 1
+    half = block // chunks
+    rows = [slice(c * half, (c + 1) * half) for c in range(chunks)]
 
-    dummy = slab_has_dummy if slab_has_dummy is not None else (True,) * dc
-
-    def body(_, carry):
-        total = scatter_sum() + weighted_in
-        total_c = _cast(total)  # hoisted: one cast for all dc gather matmuls
-        mags = []
-        signs = []
-        min1 = min2 = row_sign = None
-        for j in range(dc):
-            g = dot_gath(total_c, j=j)
-            vc = g - cv_ref[j]
-            if dummy[j]:  # all-zero bias slabs skip the add (regular codes)
-                vc = vc + bias_ref[j]
-            mag = jnp.abs(vc)
-            sgn = jnp.where(vc > 0.0, 1.0, jnp.where(vc < 0.0, -1.0, 0.0))
-            if j == 0:
-                min1, min2, row_sign = mag, jnp.full_like(mag, _BIG), sgn
-            else:
-                # update min2 with the old min1 BEFORE lowering min1; a
-                # duplicated minimum lands in min2 (the reference top-k rule)
-                min2 = jnp.minimum(min2, jnp.maximum(min1, mag))
-                min1 = jnp.minimum(min1, mag)
-                row_sign = row_sign * sgn
-            mags.append(mag)
-            signs.append(sgn)
-        # hoist the normalization out of the per-slab multiply chain
+    def _chunk_iter(cv, win):
+        total = dot_scat(cv) + win
+        vc = dot_gath(total) - cv
+        if any_dummy:  # zero bias everywhere for row-regular codes: skip
+            vc = vc + bias_ref[:]
+        mag = jnp.abs(vc)
+        sgn = jnp.where(vc > 0.0, 1.0, jnp.where(vc < 0.0, -1.0, 0.0))
+        # min/submin tournament over the dc static lane slices; update min2
+        # with the old min1 BEFORE lowering min1 so a duplicated minimum
+        # lands in min2 (the reference top-k rule)
+        min1 = mag[:, :m]
+        min2 = jnp.full_like(min1, _BIG)
+        row_sign = sgn[:, :m]
+        for j in range(1, dc):
+            mj = mag[:, j * m:(j + 1) * m]
+            min2 = jnp.minimum(min2, jnp.maximum(min1, mj))
+            min1 = jnp.minimum(min1, mj)
+            row_sign = row_sign * sgn[:, j * m:(j + 1) * m]
+        # hoist the normalization out of the per-slab multiply chain; build
+        # the new cv per slab (lane slices)
         wmin1 = w_chk * min1
         wmin2 = w_chk * min2
+        outs = []
         for j in range(dc):
-            emag = jnp.where(mags[j] > min1, wmin1, wmin2)
-            cv_ref[j] = emag * (row_sign * signs[j])
+            sl = slice(j * m, (j + 1) * m)
+            emag = jnp.where(mag[:, sl] > min1, wmin1, wmin2)
+            outs.append(emag * (row_sign * sgn[:, sl]))
+        return outs
+
+    def body(_, carry):
+        outs = [_chunk_iter(cv_ref[r, :], weighted_in[r, :]) for r in rows]
+        for r, out in zip(rows, outs):
+            for j in range(dc):
+                cv_ref[r, j * m:(j + 1) * m] = out[j]
         return carry
 
     jax.lax.fori_loop(0, num_iterations, body, 0, unroll=False)
-    return scatter_sum()
+    return jnp.concatenate([dot_scat(cv_ref[r, :]) for r in rows], axis=0) \
+        if chunks > 1 else dot_scat(cv_ref[:])
 
 
 def _decode_kernel(dc, num_iterations, mode, slab_has_dummy, weights_ref,
@@ -223,7 +248,7 @@ def decode_final_edge(
     ``_decode_edge``."""
     if variant == "NMS-r":
         raise ValueError("NMS-r uses the XLA path (neural check update)")
-    scatter, gather, bias, slab_has_dummy = edge_layout(h)
+    scatter, gather, bias, slab_has_dummy = edge_layout_stacked(h)
     h_f32 = np.asarray(h, np.float32)
     return _decode_final_edge_jit(
         params, scatter, gather, bias, h_f32, llr, num_iterations, variant,
@@ -243,7 +268,9 @@ def _decode_final_edge_jit(params, scatter, gather, bias, h, llr,
 
     w_vc, w_chk, w_marg = _weights(params, variant)
     weights = jnp.stack([w_vc, w_chk, w_marg]).astype(jnp.float32)
-    dc, m, n = scatter.shape
+    edges, n = scatter.shape
+    m = h.shape[0]
+    dc = edges // m
     batch = llr.shape[0]
     if batch % block_frames:
         raise ValueError(f"batch {batch} not a multiple of {block_frames}")
@@ -255,16 +282,16 @@ def _decode_final_edge_jit(params, scatter, gather, bias, h, llr,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # weights (3,)
-            pl.BlockSpec((dc, m, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dc, n, m), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dc, 1, m), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((edges, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, edges), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, edges), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_frames, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (block_frames, n), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((batch, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((dc, block_frames, m), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((block_frames, edges), jnp.float32)],
         interpret=interpret,
     )(weights, jnp.asarray(scatter), jnp.asarray(gather), jnp.asarray(bias),
       llr.astype(jnp.float32))
@@ -282,7 +309,7 @@ def _mc_kernel(dc, num_iterations, sigma, mean, mode, slab_has_dummy,
     h = h_ref[:]
     g = g_ref[:]
     k = g.shape[0]
-    bt = cv_ref.shape[1]
+    bt = cv_ref.shape[0]
     n = h.shape[1]
     pltpu.prng_seed(seed.astype(jnp.int32) + pl.program_id(0))
 
@@ -339,7 +366,7 @@ def mc_fused_edge(
     """Fully fused Monte-Carlo step with the edge-compact decoder; returns
     summed counters [frames, frame_errors, bit_errors, detected, undetected].
     Drop-in for ``mc_pallas.mc_fused`` (``h`` must be concrete)."""
-    scatter, gather, bias, slab_has_dummy = edge_layout(h)
+    scatter, gather, bias, slab_has_dummy = edge_layout_stacked(h)
     return _mc_fused_edge_jit(
         params_vec, scatter, gather, bias,
         np.asarray(h, np.float32), np.asarray(g, np.float32),
@@ -358,7 +385,9 @@ def mc_fused_edge(
 def _mc_fused_edge_jit(params_vec, scatter, gather, bias, h, g,
                        num_iterations, batch, sigma, mean, block_frames,
                        interpret, mode="split", slab_has_dummy=None):
-    dc, m, n = scatter.shape
+    edges, n = scatter.shape
+    m = h.shape[0]
+    dc = edges // m
     if batch % block_frames:
         raise ValueError(f"batch {batch} not a multiple of {block_frames}")
     grid = (batch // block_frames,)
@@ -369,9 +398,9 @@ def _mc_fused_edge_jit(params_vec, scatter, gather, bias, h, g,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((dc, m, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dc, n, m), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dc, 1, m), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((edges, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, edges), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, edges), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(g.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -379,7 +408,7 @@ def _mc_fused_edge_jit(params_vec, scatter, gather, bias, h, g,
             (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((grid[0], 8, 128), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((dc, block_frames, m), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((block_frames, edges), jnp.float32)],
         interpret=interpret,
     )(params_vec, jnp.asarray(scatter), jnp.asarray(gather), jnp.asarray(bias),
       jnp.asarray(h), jnp.asarray(g))
