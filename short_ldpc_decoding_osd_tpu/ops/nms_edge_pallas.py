@@ -103,14 +103,27 @@ def edge_layout_stacked(h):
 
 
 def auto_block_frames(m: int, n: int, dc: int, vmem_bytes: int = 16 * 2**20) -> int:
-    """Largest power-of-two frame block fitting scoped VMEM: constant
-    matrices (2*dc*m*n + h) + ~28 live (block, m) slabs (cv/mag/sign/vc per
-    edge plus totals).  Returns 0 if even 8 frames don't fit."""
-    const = (2 * dc * m * n + m * n) * 4
-    per_frame = (3 * dc + 6) * m * 4 + 6 * n * 4
+    """Largest power-of-two frame block fitting scoped VMEM.
+
+    Working-set model for the STACKED layout of ``_decode_edge``:
+
+    * constants: scat ``(dc*m, n)`` + gath ``(n, dc*m)`` + bias, plus h and g
+      for the fused-MC variant — ``(2*dc*m*n + 2*m*n)`` f32;
+    * per frame: the ``(block, dc*m)`` cv scratch plus llr/weighted-in/out
+      rows (``dc*m + 3n`` f32), plus the per-chunk live set — vc/mag/sgn
+      slabs (``3*dc*m``), the min/submin tournament registers
+      (``(5+dc)*m``) and the column total (``n``) — amortised over the 2
+      row chunks the body runs at ``block >= 128``;
+    * a 2x factor on the block-sized part for pipeline double-buffering.
+
+    The cap of 512 is empirical, not a VMEM fit: larger blocks satisfy this
+    estimate for small codes but fail Mosaic scheduling on v5e, and 512 is
+    also the measured throughput peak.  (For CCSDS (128,64) the model itself
+    also tops out at 512.)  Returns 0 if even 8 frames don't fit."""
+    const = (2 * dc * m * n + 2 * m * n) * 4
+    per_chunk_live = ((3 * dc + 5 + dc) * m + n) * 4 // 2
+    per_frame = (dc * m + 3 * n) * 4 + per_chunk_live
     block = 8
-    # cap at 512: larger blocks fit the VMEM estimate but fail scheduling in
-    # the Mosaic compiler (measured on v5e; 512 is also the throughput peak)
     while block * 2 * per_frame + const <= vmem_bytes and block < 512:
         block *= 2
     return 0 if block * per_frame + const > vmem_bytes else block

@@ -109,6 +109,54 @@ def test_edge_decode_enms_extended(code):
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
 
 
+def test_edge_decode_chunked_block(code):
+    """block_frames=128 takes the chunks=2 path in _decode_edge (two
+    interleaved row-chunk chains) — the branch the bench defaults (256/512)
+    run on hardware.  Must match the XLA golden like the single-chunk path."""
+    llr = _llr(code, 128, seed=11)
+    params = nms.init_params("NMS-1")
+    ref = np.asarray(
+        nms.decode_final(params, jnp.asarray(code.h, jnp.float32), llr, 12, "NMS-1")
+    )
+    got = np.asarray(
+        decode_final_edge(params, code.h, llr, 12, "NMS-1",
+                          block_frames=128, interpret=True, mode="highest")
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
+    assert ((got < 0) == (ref < 0)).mean() >= 0.999
+    # the two chunks must agree with the single-chunk result exactly (same
+    # matmul shapes per chunk row set -> identical reduction trees)
+    got64 = np.asarray(
+        decode_final_edge(params, code.h, llr, 12, "NMS-1",
+                          block_frames=64, interpret=True, mode="highest")
+    )
+    np.testing.assert_array_equal(got, got64)
+
+
+def test_edge_decode_chunked_irregular():
+    """chunks=2 path combined with dummy-edge bias (irregular rows)."""
+    rng = np.random.default_rng(9)
+    while True:
+        h = (rng.uniform(size=(16, 32)) < 0.22).astype(np.uint8)
+        rows = h.sum(axis=1)
+        if rows.min() >= 2 and len(set(rows.tolist())) > 1:
+            try:
+                code = Code.from_parity(h, "irregular_chunked")
+                break
+            except ValueError:
+                continue
+    llr = _llr(code, 128, seed=13)
+    params = nms.init_params("NMS-1")
+    ref = np.asarray(
+        nms.decode_final(params, jnp.asarray(code.h, jnp.float32), llr, 8, "NMS-1")
+    )
+    got = np.asarray(
+        decode_final_edge(params, code.h, llr, 8, "NMS-1",
+                          block_frames=128, interpret=True, mode="highest")
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
+
+
 # NOTE: mc_fused_edge (like mc_pallas.mc_fused) uses pltpu.prng_seed /
 # prng_random_bits, which have no CPU-interpret lowering — its counters are
 # validated against the dense kernel on real hardware by scripts/tpu_smoke.py.
