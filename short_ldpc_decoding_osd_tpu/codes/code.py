@@ -119,8 +119,17 @@ _REGISTRY_BUILDERS = {
     "ccsds_128_64": lambda: _load_packaged("ccsds_128_64"),
     "regular_256_128": lambda: make_regular_ldpc(256, 128, row_weight=8, seed=1),
     "regular_512_256": lambda: make_regular_ldpc(512, 256, row_weight=8, seed=2),
-    # counterparts of the reference's extra alist assets, constructed
-    # programmatically (SURVEY.md §2 cross-cutting assets row)
+    # the reference's other public code assets (SURVEY.md §2 cross-cutting
+    # assets row), packaged as npz like the CCSDS matrix — see data/README.md
+    # and scripts/import_reference_codes.py.  array_121_60/_80 carry redundant
+    # parity rows (rank 61/41 < m), exercised by the rank-deficient paths.
+    "array_121_60": lambda: _load_packaged("array_121_60"),
+    "array_121_80": lambda: _load_packaged("array_121_80"),
+    "qc_96_48": lambda: _load_packaged("qc_96_48"),
+    "code1_64_32": lambda: _load_packaged("code1_64_32"),
+    "wimax_1056_880": lambda: _load_packaged("wimax_1056_880"),
+    "wimaxlike_384_192": lambda: _load_packaged("wimaxlike_384_192"),
+    # programmatic regular codes kept for seeded reproducible sweeps
     "regular_64_32": lambda: make_regular_ldpc(64, 32, row_weight=6, seed=3),
     "regular_96_48": lambda: make_regular_ldpc(96, 48, row_weight=6, seed=4),
     "regular_384_192": lambda: make_regular_ldpc(384, 192, row_weight=8, seed=5),

@@ -94,3 +94,48 @@ def test_custom_code_from_parity():
 def test_make_regular_full_rank():
     code = make_regular_ldpc(64, 32, row_weight=6, seed=5)
     assert gf2.rank(code.h) == 32
+
+
+_PACKAGED = {
+    "array_121_60": (121, 66, 60),
+    "array_121_80": (121, 44, 80),
+    "qc_96_48": (96, 48, 48),
+    "code1_64_32": (64, 32, 32),
+    "wimax_1056_880": (1056, 176, 880),
+    "wimaxlike_384_192": (384, 192, 192),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_PACKAGED))
+def test_packaged_code_assets(name):
+    """Every packaged public code loads, G is orthogonal to H, and encoded
+    codewords satisfy parity.  array_121_* carry redundant parity rows
+    (m > rank), exercising the rank-deficient generator construction."""
+    code = get_code(name)
+    n, m, k = _PACKAGED[name]
+    assert (code.n, code.m, code.k) == (n, m, k)
+    syndrome = code.h.astype(int) @ code.g.T.astype(int) % 2
+    assert not syndrome.any()
+    rng = np.random.default_rng(7)
+    msgs = rng.integers(0, 2, size=(8, code.k))
+    assert not (code.h.astype(int) @ code.encode(msgs).T % 2).any()
+
+
+@pytest.mark.parametrize("name", ["array_121_60", "qc_96_48", "wimaxlike_384_192"])
+def test_packaged_code_nms_decodes(name):
+    """A clean (noise-free) BPSK frame must decode to itself for the packaged
+    codes, including the rank-deficient array code (extra check rows are
+    legitimate BP checks)."""
+    import jax.numpy as jnp
+
+    from short_ldpc_decoding_osd_tpu.ops import nms
+
+    code = get_code(name)
+    rng = np.random.default_rng(11)
+    words = code.encode(rng.integers(0, 2, size=(4, code.k)))
+    llr = jnp.asarray(1.0 - 2.0 * words, jnp.float32)  # noise-free BPSK
+    soft = nms.decode_final(
+        nms.init_params("NMS-1"), jnp.asarray(code.h, jnp.float32), llr, 4, "NMS-1"
+    )
+    hard = np.asarray(soft < 0, np.uint8)
+    np.testing.assert_array_equal(hard, words.astype(np.uint8))
