@@ -1,0 +1,159 @@
+"""Bit-packed batched GF(2) elimination: frames as lanes, columns as bits.
+
+The f32 kernels (``gf2ops.batched_row_reduce`` / ``gf2_pallas``) spend one
+vector lane per matrix *entry*: every pivot step touches ``B*m*n`` f32
+elements.  Here the work tensor is ``(m, n/32, B)`` int32 — column ``j`` of
+frame ``b`` lives in bit ``j%32`` of word ``[i, j//32, b]`` — so
+
+* the batch axis ``B`` maps to VPU *lanes* (no cross-frame interaction ever
+  happens, so no lane shuffles are needed anywhere);
+* the row axis ``m`` maps to sublanes, where the per-frame pivot search is a
+  native ``argmax`` (first set row) like the f32 kernels;
+* the column-swap search ("first column > t with a 1 in row t", reference
+  ``full_gf2elim`` at ``DL_OSD_Testing_serial/ordered_statistics_decoding.py:222-257``)
+  becomes the classic lowest-set-bit trick ``x & -x`` on the packed row,
+  walked over the (few) words;
+* row/column swaps and the elimination XOR are single fused bitwise passes
+  over the 32x-smaller packed tensor.
+
+The pivot/column-swap semantics are exactly those of
+``gf2ops.batched_row_reduce`` (bit-exact on full-row-rank inputs; degenerate
+no-pivot/no-swap steps are a no-op, matching ``gf2_pallas``).  Pure XLA —
+the packed tensor for 4096 CCSDS frames is 4 MB, so the per-step HBM
+round-trip costs microseconds and no Pallas kernel is needed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pack_columns(h_batch: jnp.ndarray) -> jnp.ndarray:
+    """(B, m, n) 0/1 -> (m, ceil(n/32), B) int32, bit j%32 of word j//32 = col j."""
+    b, m, n = h_batch.shape
+    nw = -(-n // 32)
+    x = h_batch.astype(jnp.int32)
+    if nw * 32 != n:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, nw * 32 - n)))
+    x = x.reshape(b, m, nw, 32)
+    bits = jnp.arange(32, dtype=jnp.int32)
+    words = jnp.sum(jnp.left_shift(x, bits[None, None, None, :]), axis=3)
+    return jnp.transpose(words, (1, 2, 0))  # (m, nw, B)
+
+
+def unpack_columns(packed: jnp.ndarray, n: int, dtype=jnp.int8) -> jnp.ndarray:
+    """(m, nw, B) int32 -> (B, m, n) 0/1 of ``dtype``."""
+    m, nw, b = packed.shape
+    word_of = np.arange(n) // 32  # static gathers
+    bit_of = jnp.asarray((np.int64(1) << (np.arange(n) % 32)).astype(np.int32))
+    sel = packed[:, word_of, :]  # (m, n, B)
+    bits = (sel & bit_of[None, :, None]) != 0
+    return jnp.transpose(bits, (2, 0, 1)).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("m_steps",))
+def _reduce_packed(mat: jnp.ndarray, col_order: jnp.ndarray, m_steps: int):
+    """Core loop over ``m_steps`` pivots on the packed (m, nw, B) tensor."""
+    m, nw, b = mat.shape
+    n = col_order.shape[0]
+    iota_m = jnp.arange(m, dtype=jnp.int32)[:, None]  # (m, 1)
+    iota_w = jnp.arange(nw, dtype=jnp.int32)[:, None]  # (nw, 1)
+    iota_n = jnp.arange(n, dtype=jnp.int32)[:, None]  # (n, 1)
+    word_of_n = jnp.asarray(np.arange(n) // 32, jnp.int32)
+    bit_of_n = jnp.asarray(
+        (np.int64(1) << (np.arange(n) % 32)).astype(np.int32)
+    )[:, None]  # (n, 1)
+    full = jnp.int32(-1)
+    zero = jnp.int32(0)
+
+    def step(t, carry):
+        mat, col_order = carry
+        jw = t // 32
+        jb = t % 32
+        bit_t = jnp.left_shift(jnp.int32(1), jb)
+
+        word_t = jax.lax.dynamic_slice_in_dim(mat, jw, 1, axis=1)[:, 0, :]  # (m,B)
+        col_t = (word_t & bit_t) != 0  # (m, B) bool
+        cm = col_t & (iota_m >= t)
+        has_p = jnp.any(cm, axis=0, keepdims=True)  # (1, B)
+        pivot_row = jnp.argmax(cm, axis=0)[None, :].astype(jnp.int32)  # (1, B)
+
+        # --- swap-column search: first set bit > t in row t (packed) ---
+        row_t = jax.lax.dynamic_slice_in_dim(mat, t, 1, axis=0)[0]  # (nw, B)
+        # word mask zeroing bits <= t:  -(2 << jb) == bits jb+1.. (0 at jb=31)
+        mask_hi = -jnp.left_shift(jnp.int32(2), jb)
+        wmask = jnp.where(iota_w < jw, zero, jnp.where(iota_w == jw, mask_hi, full))
+        cand = row_t & wmask & jnp.where(has_p, zero, full)  # (nw, B)
+        low = cand & -cand  # per-word lowest set bit
+        nz = low != 0
+        seen = jnp.zeros((1, b), dtype=bool)
+        sc_words = []
+        for w in range(nw):  # static, nw is small
+            sc_words.append(jnp.where(seen[0] | ~nz[w], zero, low[w]))
+            seen = seen | nz[w][None, :]
+        scmask = jnp.stack(sc_words, axis=0)  # (nw, B): <=1 bit set per frame
+        sc_any = seen  # (1, B) bool
+
+        # --- column swap t <-> sc (packed masks; dcol gated by sc_any) ---
+        s_col = jnp.any((mat & scmask[None, :, :]) != 0, axis=1)  # (m, B)
+        dcol = (s_col ^ col_t) & sc_any  # (m, B) bool
+        tmask = jnp.where(iota_w == jw, bit_t, zero)  # (nw, 1)
+        cmask = scmask | tmask  # (nw, B)
+
+        # --- row swap t <-> pivot_row on the post-col-swap matrix, with the
+        # post-swap rows derived algebraically (no re-read) ---
+        oh_pr = iota_m == pivot_row  # (m, B) bool (pr==t harmless)
+        pr_gated = oh_pr & has_p
+        p_row = jnp.sum(jnp.where(pr_gated[:, None, :], mat, zero), axis=0)  # (nw,B)
+        dcol_at_t = jnp.any((iota_m == t) & dcol, axis=0)[None, :]
+        dcol_at_pr = jnp.any(pr_gated & dcol, axis=0)[None, :]
+        row_t2 = row_t ^ (cmask & jnp.where(dcol_at_t, full, zero))
+        p_row2 = p_row ^ (cmask & jnp.where(dcol_at_pr, full, zero))
+        drow = (p_row2 ^ row_t2) & jnp.where(has_p, full, zero)  # (nw, B)
+        rmask = (iota_m == t) | pr_gated  # (m, B) bool
+
+        # --- elimination of column t outside row t (derived pivot row) ---
+        piv = row_t2 ^ drow  # final row t, (nw, B)
+        drow_at_tcol = jnp.any((drow & tmask) != 0, axis=0)[None, :]  # (1, B)
+        new_col_t = (col_t ^ dcol) ^ (rmask & drow_at_tcol)
+        colv = new_col_t & (iota_m != t)  # (m, B) bool
+
+        # one fused XOR pass (the three terms commute under XOR)
+        upd = (
+            (cmask[None, :, :] & jnp.where(dcol, full, zero)[:, None, :])
+            ^ (jnp.where(rmask, full, zero)[:, None, :] & drow[None, :, :])
+            ^ (jnp.where(colv, full, zero)[:, None, :] & piv[None, :, :])
+        )
+        mat = mat ^ upd
+
+        # --- col_order bookkeeping (dense ints over n sublanes) ---
+        oh_sc = (scmask[word_of_n, :] & bit_of_n) != 0  # (n, B) bool
+        oh_t = iota_n == t  # (n, 1)
+        ord_t = jax.lax.dynamic_slice_in_dim(col_order, t, 1, axis=0)  # (1, B)
+        ord_sc = jnp.sum(jnp.where(oh_sc, col_order, zero), axis=0)[None, :]
+        d_ord = jnp.where(sc_any, ord_sc - ord_t, zero)  # (1, B)
+        col_order = col_order + jnp.where(oh_t, d_ord, zero) - jnp.where(
+            oh_sc, d_ord, zero
+        )
+        return mat, col_order
+
+    return jax.lax.fori_loop(0, m_steps, step, (mat, col_order))
+
+
+@jax.jit
+def batched_row_reduce_bitpack(h_batch: jnp.ndarray):
+    """Drop-in replacement for ``gf2ops.batched_row_reduce`` (bit-packed).
+
+    Returns ``(reduced (B, m, n) int8, col_order (B, n) int32)``.
+    """
+    b, m, n = h_batch.shape
+    mat = pack_columns(h_batch)
+    col_order = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, b)
+    )
+    mat, col_order = _reduce_packed(mat, col_order, m_steps=m)
+    return unpack_columns(mat, n), jnp.transpose(col_order, (1, 0))

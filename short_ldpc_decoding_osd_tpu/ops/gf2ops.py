@@ -129,21 +129,12 @@ def identify_mrb(h_batch: jnp.ndarray, k: int):
         function threshold-free.
     """
     batch, m, n = h_batch.shape
-    use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
-        from .gf2_pallas import batched_row_reduce_pallas
+    if jax.default_backend() == "tpu":
+        # bit-packed frames-as-lanes elimination: ~2x the f32 Pallas kernel at
+        # B=4k and ~9x at B=64k on v5e (see ops/gf2_bitpack.py); bit-exact
+        from .gf2_bitpack import batched_row_reduce_bitpack
 
-        # 64-frame blocks measured fastest on v5e (33.7k vs 18.5k frames/s at
-        # 16); 128 fails VMEM scheduling
-        block = 64
-        pad = (-batch) % block
-        hb = (
-            jnp.concatenate([h_batch, jnp.broadcast_to(h_batch[:1], (pad, m, n))])
-            if pad
-            else h_batch
-        )
-        reduced, col_order = batched_row_reduce_pallas(hb, block_frames=block)
-        reduced, col_order = reduced[:batch], col_order[:batch]
+        reduced, col_order = batched_row_reduce_bitpack(h_batch)
     else:
         reduced, col_order = batched_row_reduce(h_batch)
     mrb_cols = col_order[:, -k:]  # reliability ranks of MRB positions
