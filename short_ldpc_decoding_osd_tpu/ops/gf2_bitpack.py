@@ -21,6 +21,13 @@ The pivot/column-swap semantics are exactly those of
 no-pivot/no-swap steps are a no-op, matching ``gf2_pallas``).  Pure XLA —
 the packed tensor for 4096 CCSDS frames is 4 MB, so the per-step HBM
 round-trip costs microseconds and no Pallas kernel is needed.
+
+Measured on v5e (B=4096, CCSDS): 5.2 ms vs 50 ms for the f32 Pallas kernel;
+scales to ~780k frames/s.  A VMEM-resident Pallas twin of this layout was
+tried and REJECTED: Mosaic lowered the sublane folds/masked selects ~2x
+slower than XLA's fusion of the same ops (11 ms), and the compiler crashed
+outright at >=2048-lane blocks.  Loop unrolling (2/4/8) does not help — the
+per-step cost is the elimination dependency chain, not loop overhead.
 """
 
 from __future__ import annotations

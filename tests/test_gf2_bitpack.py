@@ -86,3 +86,4 @@ def test_bitpack_ge_nonmultiple_of_32_columns():
     got_mat, got_ord = batched_row_reduce_bitpack(jnp.asarray(batch))
     np.testing.assert_array_equal(np.asarray(got_mat), np.asarray(want_mat))
     np.testing.assert_array_equal(np.asarray(got_ord), np.asarray(want_ord))
+
