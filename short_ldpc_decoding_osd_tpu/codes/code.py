@@ -10,6 +10,7 @@ programmatically constructed regular LDPC codes for the multi-code sweep.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 
 import numpy as np
@@ -85,6 +86,24 @@ class Code:
     def encode(self, messages: np.ndarray) -> np.ndarray:
         """messages (..., k) -> codewords (..., n), host-side numpy."""
         return (np.asarray(messages, dtype=np.int64) @ self.g.astype(np.int64)) % 2
+
+    @functools.cached_property
+    def h_osd(self) -> np.ndarray:
+        """Full-rank row basis of H for the fixed-shape OSD elimination.
+
+        Identical to ``h`` for full-rank codes.  For codes whose parity
+        matrix carries redundant rows (the packaged array codes), the OSD
+        permutation dance must run on a rank-(n-k) basis: the reference's
+        per-frame ``gf2elim`` deletes rows that become zero
+        (``fill_matrix_info.py:6-41``), and the RREF + column-swap record of
+        the basis equals that of the full matrix (both depend only on the
+        row space).  NMS decoding and syndrome checks keep the full ``h``
+        (redundant checks are legitimate BP constraints)."""
+        if self.m == self.n - self.k:
+            return self.h
+        basis = gf2.row_basis(self.h)
+        assert basis.shape[0] == self.n - self.k, (basis.shape, self.k)
+        return basis
 
 
 def make_regular_ldpc(

@@ -100,3 +100,40 @@ def rank(mat: np.ndarray) -> int:
     """GF(2) rank (rows surviving full reduction)."""
     reduced, _ = row_reduce(mat)
     return int((reduced.any(axis=1)).sum())
+
+
+def row_basis(mat: np.ndarray) -> np.ndarray:
+    """Maximal linearly independent subset of ``mat``'s rows (original rows,
+    in their original order).
+
+    Used to hand rank-deficient parity matrices (e.g. the packaged array
+    codes, whose H carries redundant rows like the reference's
+    ``ArrayCode_*.alist`` assets) to the fixed-shape OSD elimination.
+
+    CONSCIOUS DIVERGENCE from the reference: the reference's per-frame
+    ``gf2elim`` keeps redundant rows and deletes them as they turn zero
+    mid-elimination (``fill_matrix_info.py:6-41``).  When a pivot column has
+    no 1 below the cursor, the column swapped in is read from the *current
+    physical row*, so zombie (not-yet-deleted zero) rows can shift which
+    column gets recorded — reducing the basis can therefore record a
+    different (equally valid) swap in such degenerate steps.  The row space,
+    the reliability ordering, and the "most reliable independent basis"
+    property of the resulting MRB are identical; the reference pipeline only
+    ever runs the full-rank CCSDS code, where the two are bit-identical.
+    """
+    mat = np.asarray(mat, dtype=np.uint8)
+    pivots: dict[int, np.ndarray] = {}  # pivot column -> reduced row
+    keep: list[int] = []
+    for i, row in enumerate(mat):
+        work = row.copy()
+        while True:
+            nz = np.flatnonzero(work)
+            if nz.size == 0:
+                break  # dependent row
+            p = int(nz[0])
+            if p not in pivots:
+                pivots[p] = work
+                keep.append(i)
+                break
+            work = work ^ pivots[p]
+    return mat[keep]

@@ -38,6 +38,7 @@ it scatters nothing back.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -188,8 +189,11 @@ def _decode_edge(dc, num_iterations, w_vc, w_chk, llr, scat_ref, gath_ref,
     block = llr.shape[0]
     # independent row-chunk chains inside one loop body: the scheduler can
     # overlap chunk A's VPU tournament with chunk B's matmuls (the single
-    # chain leaves MXU and VPU each ~25% occupied)
-    chunks = 2 if block % 2 == 0 and block >= 128 else 1
+    # chain leaves MXU and VPU each ~25% occupied); 2 measured best on v5e
+    # (4 adds VMEM pressure without further overlap win)
+    chunks = int(os.environ.get("SLDPC_EDGE_CHUNKS", "2"))
+    if block % chunks or block < 64 * chunks:
+        chunks = 2 if block % 2 == 0 and block >= 128 else 1
     half = block // chunks
     rows = [slice(c * half, (c + 1) * half) for c in range(chunks)]
 

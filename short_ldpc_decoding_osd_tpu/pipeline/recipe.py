@@ -220,7 +220,7 @@ def stage_eval_sweep(cfg: RecipeConfig, run: RunDir, nms_params, model, dia_para
     blocks, acc = segments.build_tep_blocks(decoding_path, code.k, cfg.num_segments)
     teps, mask = segments.stack_padded_blocks(blocks)
     teps_j, mask_j = jnp.asarray(teps), jnp.asarray(mask)
-    h = jnp.asarray(code.h)
+    h = jnp.asarray(code.h_osd)  # full-rank basis for the OSD elimination
     fcn = stopper_engine_params(s_params)
     osd_step = engine.make_dl_osd_step(
         model, h, code.k, window=cfg.window, soft_margin=cfg.soft_margin

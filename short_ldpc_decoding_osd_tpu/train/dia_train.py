@@ -124,7 +124,7 @@ def pattern_statistics_sweep(
     MRB bit-error histograms (initial / final-iteration / DIA-refined)."""
     import collections
 
-    h = jnp.asarray(code.h)
+    h = jnp.asarray(code.h_osd)  # full-rank basis for the OSD elimination
     counter = path_mod.PatternCounter(code.k, num_segments)
     hist_initial = collections.Counter()
     hist_final = collections.Counter()

@@ -60,7 +60,7 @@ def generate_stopper_samples(
     blocks, acc = segments.build_tep_blocks(decoding_path, code.k, num_segments)
     teps, mask = segments.stack_padded_blocks(blocks)
     teps_j, mask_j = jnp.asarray(teps), jnp.asarray(mask)
-    h = jnp.asarray(code.h)
+    h = jnp.asarray(code.h_osd)  # full-rank basis for the OSD elimination
 
     @jax.jit
     def block_mins(traj, labs):

@@ -139,3 +139,67 @@ def test_packaged_code_nms_decodes(name):
     )
     hard = np.asarray(soft < 0, np.uint8)
     np.testing.assert_array_equal(hard, words.astype(np.uint8))
+
+
+def test_row_basis_and_h_osd():
+    """Full-rank row basis for the OSD elimination: same row space as the
+    redundant-row matrix, and the reduced basis spans exactly the rows the
+    reference's delete-zero-rows elimination would keep.  (The column-swap
+    *record* may differ in degenerate steps — a documented conscious
+    divergence, see gf2.row_basis.)"""
+    code = get_code("array_121_60")
+    assert code.m == 66 and code.k == 60
+    basis = code.h_osd
+    assert basis.shape == (61, 121)
+    # rows of the basis are original H rows and span the same row space
+    as_set = {tuple(r) for r in code.h.tolist()}
+    assert all(tuple(r) in as_set for r in basis.tolist())
+    stacked = np.concatenate([code.h, basis], axis=0)
+    assert gf2.rank(stacked) == gf2.rank(code.h) == 61
+    # the permuted reductions agree whenever no degenerate step occurs (the
+    # generic case: most reliability permutations)
+    rng = np.random.default_rng(0)
+    agree = 0
+    for _ in range(5):
+        perm = rng.permutation(code.n)
+        red_full, swaps_full = gf2.row_reduce(code.h[:, perm])
+        red_basis, swaps_basis = gf2.row_reduce(basis[:, perm])
+        if swaps_full == swaps_basis:
+            np.testing.assert_array_equal(red_full, red_basis)
+            agree += 1
+        # always: same rank, same pivot structure
+        assert red_full.shape == red_basis.shape == (61, 121)
+    assert agree >= 3
+    # full-rank codes: h_osd is h itself
+    ccsds = get_code("ccsds_128_64")
+    assert ccsds.h_osd is ccsds.h
+
+
+def test_osd_prepare_rank_deficient_code():
+    """The fixed-shape OSD pipeline runs on the rank-deficient array code via
+    h_osd: at high SNR the zero-TEP candidate equals the transmitted word,
+    so the truth discrepancy matches the order-0 block minimum."""
+    import jax.numpy as jnp
+
+    from short_ldpc_decoding_osd_tpu.osd import engine, segments
+
+    code = get_code("array_121_60")
+    rng = np.random.default_rng(1)
+    B = 16
+    words = code.encode(rng.integers(0, 2, (B, code.k)))
+    llr = jnp.asarray((1.0 - 2.0 * words) + rng.normal(0, 0.35, (B, code.n)),
+                      jnp.float32)
+    labs = jnp.asarray(words, jnp.int32)
+    prep = engine.prepare(llr, llr, labs, jnp.asarray(code.h_osd), code.k)
+    assert prep.m_matrix.shape == (B, code.n - code.k, code.k)
+    blocks, _ = segments.build_tep_blocks([[0] * 6], code.k, 6)
+    teps, mask = segments.stack_padded_blocks(blocks)
+    minima, _ = engine.block_discrepancy_minima(
+        prep, jnp.asarray(teps), jnp.asarray(mask), code.k
+    )
+    # at this noise level nearly every frame's MRB is error-free: the
+    # zero-TEP discrepancy must then equal the truth discrepancy
+    agree = np.isclose(
+        np.asarray(minima)[:, 0], np.asarray(prep.truth_discrepancy), rtol=1e-5
+    )
+    assert agree.mean() >= 0.8
