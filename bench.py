@@ -24,6 +24,12 @@ BATCH = int(os.environ.get("BENCH_BATCH", 2097152))
 # statistically indistinguishable from the 2-pass split mode at this
 # operating point (scripts/fer_mode_check.py: z = -0.03 over 2x8.4M frames)
 MODE = os.environ.get("BENCH_MODE", "bf16")
+# "compact": in-kernel convergence compaction (after T1 iterations the
+# unconverged ~1/3 of each block is compacted to a half block via one-hot MXU
+# gathers and resumed) — same-seed frame_err within 4/2.1M of the one-shot
+# kernel; "oneshot" = fixed 12 iterations for every frame
+KERNEL = os.environ.get("BENCH_KERNEL", "compact")
+T1 = int(os.environ.get("BENCH_T1", 4))
 ITERS = int(os.environ.get("BENCH_ITERS", 12))
 SNR_DB = float(os.environ.get("BENCH_SNR", 3.0))
 STEPS = int(os.environ.get("BENCH_STEPS", 4))
@@ -84,34 +90,49 @@ def tpu_nms_throughput(code) -> tuple[float, dict]:
         pass
 
     from short_ldpc_decoding_osd_tpu.ops import nms
-    from short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas import fused_counters_edge
+    from short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas import (
+        fused_counters_edge,
+        fused_counters_edge_compact,
+    )
 
     params = nms.init_params("NMS-1")
+
     # fully fused Monte-Carlo kernel with the edge-compact decoder: in-kernel
     # PRNG sample + MXU encode + check-centric VMEM NMS (one-hot MXU
-    # scatter/gather) + syndrome counting; ~zero HBM traffic per frame
-    counters = fused_counters_edge(
-        code, params, "NMS-1", ITERS, SNR_DB, BATCH, seed=0, block_frames=BLOCK,
-        mode=MODE,
-    )
+    # scatter/gather) + syndrome counting (+ in-kernel convergence compaction
+    # in "compact" mode); ~zero HBM traffic per frame
+    def step(seed):
+        if KERNEL == "compact":
+            return fused_counters_edge_compact(
+                code, params, "NMS-1", ITERS, SNR_DB, BATCH, seed=seed,
+                t1=T1, block_frames=BLOCK, mode=MODE,
+            )
+        return fused_counters_edge(
+            code, params, "NMS-1", ITERS, SNR_DB, BATCH, seed=seed,
+            block_frames=BLOCK, mode=MODE,
+        )
+
+    counters = step(0)
     np.asarray(counters)  # host transfer forces completion (axon's
     # block_until_ready does not reliably block)
     t0 = time.perf_counter()
     for i in range(STEPS):
-        counters = fused_counters_edge(
-            code, params, "NMS-1", ITERS, SNR_DB, BATCH, seed=1 + i,
-            block_frames=BLOCK, mode=MODE,
-        )
-        np.asarray(counters)
-    dt = time.perf_counter() - t0
+        counters = step(1 + i)
+    # dispatch is async: sync once at the end so the ~24 ms tunnel round-trip
+    # is paid once, not per step (the device runs the steps back-to-back)
     c = np.asarray(counters)
+    dt = time.perf_counter() - t0
     info = {
         "device": str(jax.devices()[0]),
         "batch": BATCH,
         "iters": ITERS,
+        "kernel": KERNEL,
         "snr_db": SNR_DB,
         "sample_fer": float(c[1]) / BATCH,
     }
+    if KERNEL == "compact":
+        info["t1"] = T1
+        info["compact_overflow"] = float(c[5])
     return STEPS * BATCH / dt, info
 
 

@@ -38,6 +38,26 @@ def _uniform01(shape):
     return u24.astype(jnp.float32) * (1.0 / 16777216.0) + (0.5 / 16777216.0)
 
 
+def _standard_normals(bt: int, n: int):
+    """(bt, n) standard normals via full Box-Muller pairs.
+
+    Each (u1, u2) uniform pair yields BOTH ``r cos`` and ``r sin`` normals, so
+    an even-n draw needs half the uniforms and half the log/sqrt/trig
+    transcendentals of the naive one-normal-per-pair form (the sampling
+    transcendentals are a measurable share of the fused MC kernels' fixed
+    cost)."""
+    if n % 2:
+        u1 = _uniform01((bt, n))
+        u2 = _uniform01((bt, n))
+        return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+    half = n // 2
+    u1 = _uniform01((bt, half))
+    u2 = _uniform01((bt, half))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = _TWO_PI * u2
+    return jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=1)
+
+
 def _mc_kernel(
     num_iterations: int,
     sigma: float,
@@ -58,16 +78,18 @@ def _mc_kernel(
     m, n = h.shape
     k = g.shape[0]
     bt = cv_ref.shape[0]
-    pltpu.prng_seed(seed.astype(jnp.int32) + pl.program_id(0))
+    # seed and block id as SEPARATE seed words: `seed + program_id` would make
+    # runs at consecutive seeds share almost all of their per-block streams
+    # (block j of seed s == block j-1 of seed s+1), correlating "independent"
+    # Monte-Carlo runs
+    pltpu.prng_seed(seed.astype(jnp.int32), pl.program_id(0))
 
     # --- sample ---
     msg_bits = pltpu.bitcast(pltpu.prng_random_bits((bt, k)), jnp.int32)
     msg = jnp.bitwise_and(msg_bits, jnp.int32(1)).astype(jnp.float32)
     prods = jnp.dot(msg, g, preferred_element_type=jnp.float32)
     codeword = prods - 2.0 * jnp.floor(prods * 0.5)  # (bt, n) in {0,1}
-    u1 = _uniform01((bt, n))
-    u2 = _uniform01((bt, n))
-    z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+    z = _standard_normals(bt, n)
     received = mean + sigma * z
     llr = (1.0 - 2.0 * codeword) * received
 

@@ -46,7 +46,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mc_pallas import _uniform01
+from .mc_pallas import _standard_normals
 
 _BIG = 3.4e38
 _BIAS = 1e30
@@ -131,7 +131,8 @@ def auto_block_frames(m: int, n: int, dc: int, vmem_bytes: int = 16 * 2**20) -> 
 
 
 def _decode_edge(dc, num_iterations, w_vc, w_chk, llr, scat_ref, gath_ref,
-                 bias_ref, cv_ref, mode="split", slab_has_dummy=None):
+                 bias_ref, cv_ref, mode="split", slab_has_dummy=None,
+                 init_cv=True):
     """Shared iteration body; returns the final column sums (block, n).
 
     Refs are the STACKED layout (``edge_layout_stacked``): scat (dc*m, n),
@@ -184,14 +185,15 @@ def _decode_edge(dc, num_iterations, w_vc, w_chk, llr, scat_ref, gath_ref,
         dot_gath = lambda x: _hi(x, gath_ref[:])
 
     weighted_in = w_vc * llr
-    cv_ref[:] = jnp.zeros_like(cv_ref)
+    if init_cv:
+        cv_ref[:] = jnp.zeros_like(cv_ref)
     any_dummy = (any(slab_has_dummy) if slab_has_dummy is not None else True)
     block = llr.shape[0]
     # independent row-chunk chains inside one loop body: the scheduler can
     # overlap chunk A's VPU tournament with chunk B's matmuls (the single
-    # chain leaves MXU and VPU each ~25% occupied); 2 measured best on v5e
-    # (4 adds VMEM pressure without further overlap win)
-    chunks = int(os.environ.get("SLDPC_EDGE_CHUNKS", "2"))
+    # chain leaves MXU and VPU each ~25% occupied).  Measured on v5e at
+    # block 512: chunks=2 16.4 M cw/s, chunks=4 17.5 M cw/s (bench default)
+    chunks = int(os.environ.get("SLDPC_EDGE_CHUNKS", "4"))
     if block % chunks or block < 64 * chunks:
         chunks = 2 if block % 2 == 0 and block >= 128 else 1
     half = block // chunks
@@ -328,16 +330,16 @@ def _mc_kernel(dc, num_iterations, sigma, mean, mode, slab_has_dummy,
     k = g.shape[0]
     bt = cv_ref.shape[0]
     n = h.shape[1]
-    pltpu.prng_seed(seed.astype(jnp.int32) + pl.program_id(0))
+    # separate seed words (see mc_pallas): `seed + program_id` correlates
+    # consecutive-seed runs (block j of seed s == block j-1 of seed s+1)
+    pltpu.prng_seed(seed.astype(jnp.int32), pl.program_id(0))
 
     # --- sample (identical to mc_pallas._mc_kernel) ---
     msg_bits = pltpu.bitcast(pltpu.prng_random_bits((bt, k)), jnp.int32)
     msg = jnp.bitwise_and(msg_bits, jnp.int32(1)).astype(jnp.float32)
     prods = jnp.dot(msg, g, preferred_element_type=jnp.float32)
     codeword = prods - 2.0 * jnp.floor(prods * 0.5)
-    u1 = _uniform01((bt, n))
-    u2 = _uniform01((bt, n))
-    z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+    z = _standard_normals(bt, n)
     received = mean + sigma * z
     llr = (1.0 - 2.0 * codeword) * received
 
@@ -444,4 +446,220 @@ def fused_counters_edge(code, params, variant, num_iterations, snr_db, batch,
         vec, code.h, code.g, num_iterations, batch,
         float(sigma_for_snr(snr_db, code.rate)), 1.0, block_frames,
         mode=mode,
+    )
+
+
+def _gather_dot(ct, x, mode):
+    """(block, rows)ᵀ @ (block, cols) -> (rows, cols) one-hot gather.
+
+    ``ct`` is 0/1 (bf16-exact).  Payload handling matches the decode mode:
+    "highest" is bit-exact (bf16x3 splits represent f32 exactly and every
+    output is a single-term sum), "split" ~2^-17, "bf16" truncates like the
+    iteration matmuls already do."""
+    dims = (((0,), (0,)), ((), ()))
+    if mode == "split":
+        ctb = ct.astype(jnp.bfloat16)
+        hi = x.astype(jnp.bfloat16)
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            ctb, hi, dims, preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(
+            ctb, lo, dims, preferred_element_type=jnp.float32
+        )
+    if mode == "bf16":
+        return jax.lax.dot_general(
+            ct.astype(jnp.bfloat16), x.astype(jnp.bfloat16), dims,
+            preferred_element_type=jnp.float32,
+        )
+    return jax.lax.dot_general(
+        ct, x, dims, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _scatter_dot(ct, y, mode):
+    """(block, rows) @ (rows, cols) -> (block, cols) one-hot scatter."""
+    if mode == "split":
+        ctb = ct.astype(jnp.bfloat16)
+        hi = y.astype(jnp.bfloat16)
+        lo = (y - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jnp.dot(ctb, hi, preferred_element_type=jnp.float32) + jnp.dot(
+            ctb, lo, preferred_element_type=jnp.float32
+        )
+    if mode == "bf16":
+        return jnp.dot(
+            ct.astype(jnp.bfloat16), y.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    return jnp.dot(
+        ct, y, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _mc_compact_kernel(dc, t1, t2, sigma, mean, mode, slab_has_dummy,
+                       compact_rows,
+                       scalars_ref, scat_ref, gath_ref, bias_ref, h_ref,
+                       g_ref, out_ref, cv_ref, cv2_ref):
+    """Fused MC kernel with IN-KERNEL convergence compaction.
+
+    Runs ``t1`` iterations for the whole block, checks syndromes once, then
+    compacts the unconverged rows (typically ~1/3 at the bench operating
+    point) into a ``compact_rows``-row sub-block via one-hot MXU gathers —
+    carrying their cv messages, so the continued ``t2`` iterations compute
+    exactly what the one-shot kernel would — and scatters the finished soft
+    values back.  Converged frames keep their zero-syndrome decision (the
+    reference's ``qualified`` accounting, ``ms_test.py:36-54``; measured
+    indistinguishable from the full-T decision, scripts/cascade_fer_check.py).
+
+    Counter tile lane 5 counts frames that did not fit ``compact_rows``
+    (judged at t1; P ~ 1e-14 per block at the default half-block capacity).
+    """
+    seed = scalars_ref[0]
+    w_vc = scalars_ref[1]
+    w_chk = scalars_ref[2]
+    w_marg = scalars_ref[3]
+    h = h_ref[:]
+    g = g_ref[:]
+    k = g.shape[0]
+    bt = cv_ref.shape[0]
+    n = h.shape[1]
+    pltpu.prng_seed(seed.astype(jnp.int32), pl.program_id(0))
+
+    # --- sample (as _mc_kernel) ---
+    msg_bits = pltpu.bitcast(pltpu.prng_random_bits((bt, k)), jnp.int32)
+    msg = jnp.bitwise_and(msg_bits, jnp.int32(1)).astype(jnp.float32)
+    prods = jnp.dot(msg, g, preferred_element_type=jnp.float32)
+    codeword = prods - 2.0 * jnp.floor(prods * 0.5)
+    z = _standard_normals(bt, n)
+    llr = (1.0 - 2.0 * codeword) * (mean + sigma * z)
+
+    # --- phase 1: t1 iterations, full block ---
+    colsum1 = _decode_edge(dc, t1, w_vc, w_chk, llr, scat_ref, gath_ref,
+                           bias_ref, cv_ref, mode, slab_has_dummy)
+    soft1 = colsum1 + w_marg * llr
+    hard1 = (soft1 < 0.0).astype(jnp.float32)
+    synd1 = jnp.dot(hard1, h.T, preferred_element_type=jnp.float32)
+    synd1 = synd1 - 2.0 * jnp.floor(synd1 * 0.5)
+    u = jnp.max(synd1, axis=1, keepdims=True)  # (bt, 1) 1 = unconverged
+
+    # --- compaction map: rank among unconverged rows (exclusive prefix sum
+    # via a strict-lower-triangular MXU matmul; 0/1 operands are bf16-exact
+    # and sums accumulate in f32, so ranks are exact) ---
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (bt, bt), 0)
+        > jax.lax.broadcasted_iota(jnp.int32, (bt, bt), 1)
+    ).astype(jnp.float32)
+    rank = jnp.dot(tri, u, preferred_element_type=jnp.float32)  # (bt, 1)
+    covered = u * (rank < compact_rows).astype(jnp.float32)  # (bt, 1)
+    # int iota + cast: Mosaic's tpu.iota only produces integer vectors
+    lanes_r = jax.lax.broadcasted_iota(
+        jnp.int32, (bt, compact_rows), 1
+    ).astype(jnp.float32)
+    ct = (lanes_r == rank).astype(jnp.float32) * covered  # (bt, rows)
+
+    # --- gather unconverged rows + their messages; continue t2 iterations.
+    # The gathers stay at >= split exactness even in bf16 mode: a single-pass
+    # bf16 gather of the resumed cv messages injects 2^-9 rounding at the
+    # phase boundary, which measurably biases marginal frames toward failure
+    # (same-seed frame_err +193/2.1M vs one-shot); at 2^-17 the divergence is
+    # only the converged-frame early judgment ---
+    gmode = "highest" if mode == "highest" else "split"
+    llr_c = _gather_dot(ct, llr, gmode)
+    cv2_ref[:] = _gather_dot(ct, cv_ref[:], gmode)
+    colsum_c = _decode_edge(dc, t2, w_vc, w_chk, llr_c, scat_ref, gath_ref,
+                            bias_ref, cv2_ref, mode, slab_has_dummy,
+                            init_cv=False)
+    soft_c = colsum_c + w_marg * llr_c
+
+    # --- scatter back; converged/overflowed rows keep their t1 decision ---
+    scat_soft = _scatter_dot(ct, soft_c, mode)
+    soft = jnp.where(covered > 0.5, scat_soft, soft1)
+
+    # --- count (as _mc_kernel, + overflow lane) ---
+    hard = (soft < 0.0).astype(jnp.float32)
+    err = jnp.abs(hard - codeword)
+    frame_err = jnp.max(err, axis=1, keepdims=True)
+    bit_err = jnp.sum(err)
+    synd = jnp.dot(hard, h.T, preferred_element_type=jnp.float32)
+    synd = synd - 2.0 * jnp.floor(synd * 0.5)
+    detected = jnp.max(synd, axis=1, keepdims=True)
+    undetected = jnp.maximum(frame_err - detected, 0.0)
+    overflow = jnp.sum(u) - jnp.sum(covered)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
+    vals = (
+        jnp.where(lane == 0, jnp.float32(bt), 0.0)
+        + jnp.where(lane == 1, jnp.sum(frame_err), 0.0)
+        + jnp.where(lane == 2, bit_err, 0.0)
+        + jnp.where(lane == 3, jnp.sum(detected), 0.0)
+        + jnp.where(lane == 4, jnp.sum(undetected), 0.0)
+        + jnp.where(lane == 5, overflow, 0.0)
+    )
+    out_ref[:] = jnp.where(row == 0, vals, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "t1", "t2", "batch", "sigma", "mean", "block_frames", "compact_rows",
+        "interpret", "mode", "slab_has_dummy",
+    ),
+)
+def _mc_compact_jit(params_vec, scatter, gather, bias, h, g, t1, t2, batch,
+                    sigma, mean, block_frames, compact_rows, interpret,
+                    mode="bf16", slab_has_dummy=None):
+    edges, n = scatter.shape
+    m = h.shape[0]
+    dc = edges // m
+    if batch % block_frames:
+        raise ValueError(f"batch {batch} not a multiple of {block_frames}")
+    grid = (batch // block_frames,)
+    kernel = functools.partial(_mc_compact_kernel, dc, t1, t2, sigma, mean,
+                               mode, slab_has_dummy, compact_rows)
+    per_block = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((edges, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, edges), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, edges), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(g.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((grid[0], 8, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((block_frames, edges), jnp.float32),
+            pltpu.VMEM((compact_rows, edges), jnp.float32),
+        ],
+        interpret=interpret,
+    )(params_vec, jnp.asarray(scatter), jnp.asarray(gather), jnp.asarray(bias),
+      jnp.asarray(h), jnp.asarray(g))
+    return jnp.sum(per_block[:, 0, :6], axis=0)
+
+
+def fused_counters_edge_compact(code, params, variant, num_iterations, snr_db,
+                                batch, seed, t1: int = 4,
+                                block_frames: int = 512, mode: str = "bf16",
+                                compact_frac: float = 0.5,
+                                interpret: bool = False):
+    """Early-termination counters [frames, frame_err, bit_err, detected,
+    undetected, overflow] via in-kernel convergence compaction."""
+    from ..channel import sigma_for_snr
+    from .nms import _weights
+
+    w_vc, w_chk, w_marg = _weights(params, variant)
+    vec = jnp.stack([jnp.float32(seed), w_vc, w_chk, w_marg]).astype(jnp.float32)
+    scatter, gather, bias, slab_has_dummy = edge_layout_stacked(code.h)
+    compact_rows = max(64, int(block_frames * compact_frac))
+    return _mc_compact_jit(
+        vec, scatter, gather, bias,
+        np.asarray(code.h, np.float32), np.asarray(code.g, np.float32),
+        t1, num_iterations - t1, batch,
+        float(sigma_for_snr(snr_db, code.rate)), 1.0, block_frames,
+        compact_rows, interpret, mode, slab_has_dummy,
     )
