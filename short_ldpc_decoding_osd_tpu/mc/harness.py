@@ -214,7 +214,10 @@ def run_nms_mc(
         # the dense one and is preferred whenever its layout fits VMEM
         from ..ops.mc_pallas import fused_counters
         from ..ops.nms_edge_pallas import auto_block_frames as edge_auto
-        from ..ops.nms_edge_pallas import fused_counters_edge
+        from ..ops.nms_edge_pallas import (
+            fused_counters_edge,
+            fused_counters_edge_compact,
+        )
         from ..ops.nms_pallas import auto_block_frames
 
         dc = int(code.h.sum(axis=1).max())
@@ -223,14 +226,31 @@ def run_nms_mc(
             eblock //= 2
         block = auto_block_frames(code.m, code.n)
         if eblock >= 8:
+            # in-kernel convergence compaction when enough iterations remain
+            # after the T1 syndrome check; if a block ever overflows its
+            # compacted capacity (low SNR: >1/2 of frames unconverged at T1)
+            # the overflowed step is REDONE with the one-shot kernel and the
+            # harness stays one-shot — overflowed frames are judged at T1,
+            # which would bias FER upward if kept
+            t1 = 4
+            compact_ok = num_iterations > t1 + 1 and eblock >= 128
 
-            def step(p, key_unused, _idx=[0]):
+            def step(p, key_unused, _idx=[0], _compact=[True]):
                 del key_unused
+                s = seed * 100003 + _idx[0]
+                _idx[0] += 1
+                if compact_ok and _compact[0]:
+                    c = np.asarray(fused_counters_edge_compact(
+                        code, p, variant, num_iterations, snr_db, batch,
+                        seed=s, t1=t1, block_frames=eblock,
+                    ))
+                    if c[5] == 0.0:
+                        return c[:5], None
+                    _compact[0] = False  # fall through: redo one-shot
                 c = fused_counters_edge(
                     code, p, variant, num_iterations, snr_db, batch,
-                    seed=seed * 100003 + _idx[0], block_frames=eblock,
+                    seed=s, block_frames=eblock,
                 )
-                _idx[0] += 1
                 return c, None
 
         elif block >= 8 and batch % block == 0:
