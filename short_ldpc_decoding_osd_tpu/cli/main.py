@@ -44,6 +44,23 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=4096)
     p.add_argument("--error-budget", type=int, default=40000)
     p.add_argument("--max-frames", type=int, default=10**8)
+    p.add_argument("--channel", choices=["awgn", "rayleigh"], default="awgn",
+                   help="rayleigh = block fading (reference stage-4 option, "
+                        "Testing_data_gen_128/data_generating.py:21-38)")
+    p.add_argument("--fade-duration", type=int, default=1,
+                   help="fading block length in bits (rayleigh only)")
+
+    for name, hlp in (
+        ("train-dia", "stage 3a: DIA refiner + learned decoding path"),
+        ("train-stopper", "stage 3b: sliding-window stopper (implies 3a)"),
+    ):
+        p = sub.add_parser(name, help=hlp)
+        _add_common(p)
+        p.add_argument("--training-snr", type=float, default=2.7)
+        p.add_argument("--dia-model", default="model_cnn",
+                       choices=["model_cnn", "rnn_one", "rnn_two"])
+        p.add_argument("--train-failures", type=int, default=20000)
+        p.add_argument("--batch", type=int, default=4096)
 
     p = sub.add_parser("sweep", help="full two-phase pipeline + FER curve")
     _add_common(p)
@@ -124,6 +141,7 @@ def _dispatch(args):
         return 0
 
     if args.cmd == "eval-nms":
+        from ..channel import ChannelSpec
         from ..mc import run_nms_mc
         from ..ops import nms as nms_ops
 
@@ -136,10 +154,16 @@ def _dispatch(args):
             params = nms_ops.init_params(args.variant, code.h)
         points = []
         for snr in _parse_snrs(args.snrs):
+            spec = (
+                ChannelSpec.rayleigh_spec(float(snr), code.rate,
+                                          duration=args.fade_duration)
+                if args.channel == "rayleigh"
+                else None  # harness builds the AWGN spec
+            )
             stats, _ = run_nms_mc(
                 code, params, args.variant, args.iterations, float(snr),
                 batch=args.batch, error_budget=args.error_budget,
-                max_frames=args.max_frames, seed=args.seed,
+                max_frames=args.max_frames, seed=args.seed, spec=spec,
             )
             lo, hi = stats.fer_confidence()
             point = {"snr_db": float(snr), **stats.to_dict(), "fer_ci": [lo, hi]}
@@ -163,6 +187,40 @@ def _dispatch(args):
         )
         curve = run_recipe(cfg, args.run_dir, _parse_snrs(args.snrs))
         print(json.dumps(curve["points"][-1]))
+        return 0
+
+    if args.cmd in ("train-dia", "train-stopper"):
+        from ..ops import nms as nms_ops
+        from ..pipeline.recipe import (
+            stage_harvest_failures,
+            stage_train_dia_and_path,
+            stage_train_stopper,
+        )
+
+        code = get_code(args.code)
+        run = RunDir(args.run_dir)
+        cfg = RecipeConfig(
+            code_name=args.code,
+            variant=args.variant,
+            num_iterations=args.iterations,
+            training_snr=args.training_snr,
+            dia_model=args.dia_model,
+            train_failure_target=args.train_failures,
+            eval_batch=args.batch,
+            seed=args.seed,
+        )
+        if run.has("nms_params.pkl"):
+            nms_params = run.load_pickle("nms_params.pkl")
+        else:
+            print("no trained params in run dir; using init factor 0.67")
+            nms_params = nms_ops.init_params(args.variant, code.h)
+        fb = stage_harvest_failures(cfg, run, nms_params)
+        model, dia_params, path = stage_train_dia_and_path(cfg, run, fb)
+        out = {"decoding_path_len": len(path)}
+        if args.cmd == "train-stopper":
+            stage_train_stopper(cfg, run, model, dia_params, fb, path)
+            out["stopper"] = "stopper_params.pkl"
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "baseline":

@@ -185,6 +185,12 @@ DIA_MODELS = {"model_cnn": ConvBitwise, "model_rnn1": RnnOne, "model_rnn2": RnnT
 
 def make_dia(kind: str, n: int, list_length: int):
     """Construct a DIA model by reference prefix name."""
+    if kind == "model_cnn" and list_length < 7:
+        # three valid-padding k=3 convs consume 6 steps (nn_net.py:190-196)
+        raise ValueError(
+            f"model_cnn needs list_length (BP iterations + 1) >= 7, got "
+            f"{list_length}; use >= 6 decoding iterations or an RNN refiner"
+        )
     return DIA_MODELS[kind](n=n, list_length=list_length)
 
 

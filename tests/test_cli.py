@@ -44,3 +44,38 @@ def test_cli_train_and_eval_roundtrip(tmp_path):
     ])
     blob = json.load(open(run_dir + "/nms_fer.json"))
     assert blob["points"][0]["frames"] == 256
+
+
+def test_cli_eval_rayleigh_channel(tmp_path):
+    """Rayleigh block fading (reference stage-4 option) through the CLI."""
+    run_dir = str(tmp_path / "run")
+    main([
+        "eval-nms", "--snrs", "8.0:8.0:1", "--batch", "128",
+        "--error-budget", "1000000000", "--max-frames", "256",
+        "--iterations", "3", "--run-dir", run_dir,
+        "--channel", "rayleigh", "--fade-duration", "16",
+    ])
+    blob = json.load(open(run_dir + "/nms_fer.json"))
+    pt = blob["points"][0]
+    assert pt["frames"] == 256
+    # fading at 8 dB must err more than AWGN at 8 dB would (sanity only)
+    assert 0.0 <= pt["fer"] <= 1.0
+
+
+def test_cli_train_dia_and_stopper(tmp_path):
+    """Standalone stage-3 subcommands produce the path + stopper artifacts."""
+    run_dir = str(tmp_path / "run")
+    main([
+        "train-nms", "--steps", "2", "--batch", "16", "--iterations", "6",
+        "--run-dir", run_dir,
+    ])
+    # iterations >= 6: the DIA CNN's three valid-padding convs need T+1 >= 7
+    main([
+        "train-stopper", "--iterations", "6", "--training-snr", "1.0",
+        "--train-failures", "400", "--batch", "512", "--run-dir", run_dir,
+    ])
+    import os
+
+    assert os.path.exists(run_dir + "/decoding_path.json")
+    assert os.path.exists(run_dir + "/stopper_params.pkl")
+    assert os.path.exists(run_dir + "/dia_model_cnn.pkl")
