@@ -25,11 +25,14 @@ BATCH = int(os.environ.get("BENCH_BATCH", 2097152))
 # operating point (scripts/fer_mode_check.py: z = -0.03 over 2x8.4M frames)
 MODE = os.environ.get("BENCH_MODE", "bf16")
 # "compact": in-kernel convergence compaction (after T1 iterations the
-# unconverged ~1/3 of each block is compacted to a half block via one-hot MXU
-# gathers and resumed) — same-seed frame_err within 4/2.1M of the one-shot
-# kernel; "oneshot" = fixed 12 iterations for every frame
+# unconverged ~1/3 of each block is compacted to a FRAC-capacity sub-block
+# via one-hot MXU gathers and resumed) — same-seed frame_err within 4/2.1M
+# of the one-shot kernel; "oneshot" = fixed 12 iterations for every frame.
+# Frames that overflow the capacity keep their T1 decision and are counted
+# in compact_overflow (0 at this operating point).
 KERNEL = os.environ.get("BENCH_KERNEL", "compact")
 T1 = int(os.environ.get("BENCH_T1", 4))
+FRAC = float(os.environ.get("BENCH_FRAC", 0.40625))
 ITERS = int(os.environ.get("BENCH_ITERS", 12))
 SNR_DB = float(os.environ.get("BENCH_SNR", 3.0))
 STEPS = int(os.environ.get("BENCH_STEPS", 4))
@@ -105,7 +108,7 @@ def tpu_nms_throughput(code) -> tuple[float, dict]:
         if KERNEL == "compact":
             return fused_counters_edge_compact(
                 code, params, "NMS-1", ITERS, SNR_DB, BATCH, seed=seed,
-                t1=T1, block_frames=BLOCK, mode=MODE,
+                block_frames=BLOCK, mode=MODE, schedule=((T1, FRAC),),
             )
         return fused_counters_edge(
             code, params, "NMS-1", ITERS, SNR_DB, BATCH, seed=seed,

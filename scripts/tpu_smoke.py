@@ -98,6 +98,29 @@ def main() -> int:
     check("mc fused FER parity", diff < 6 * sig,
           f"dense={c_dense[1]/batch:.5f} edge={c_edge[1]/batch:.5f} 6sig={6*sig:.5f}")
 
+    # --- convergence-compaction schedules: SAME-SEED counters vs one-shot
+    # (identical math modulo the converged-frame early judgment, so frame
+    # errors must agree to a handful of marginal frames; overflow must be 0
+    # at the 1/2-capacity schedule) ---
+    from short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas import (
+        DEFAULT_COMPACT_SCHEDULE,
+        fused_counters_edge_compact,
+    )
+
+    c_one = np.asarray(
+        fused_counters_edge(code, params, "NMS-1", 12, 3.0, batch, 13,
+                            block_frames=512, mode="bf16")
+    )
+    for sched in (((4, 0.5),), ((4, 0.5), (2, 0.25)), DEFAULT_COMPACT_SCHEDULE):
+        c_sch = np.asarray(fused_counters_edge_compact(
+            code, params, "NMS-1", 12, 3.0, batch, 13, block_frames=512,
+            mode="bf16", schedule=sched,
+        ))
+        d = abs(c_sch[1] - c_one[1])
+        budget = 3 + c_sch[5]  # overflowed frames are judged early by design
+        check(f"mc compact{sched} same-seed", d <= budget and c_sch[0] == batch,
+              f"d_frame_err={d:.0f} overflow={c_sch[5]:.0f}")
+
     print("ALL PASS" if not failures else f"FAILURES: {failures}")
     return 0 if not failures else 1
 

@@ -215,6 +215,7 @@ def run_nms_mc(
         from ..ops.mc_pallas import fused_counters
         from ..ops.nms_edge_pallas import auto_block_frames as edge_auto
         from ..ops.nms_edge_pallas import (
+            DEFAULT_COMPACT_SCHEDULE,
             fused_counters_edge,
             fused_counters_edge_compact,
         )
@@ -243,6 +244,7 @@ def run_nms_mc(
                     c = np.asarray(fused_counters_edge_compact(
                         code, p, variant, num_iterations, snr_db, batch,
                         seed=s, t1=t1, block_frames=eblock,
+                        schedule=DEFAULT_COMPACT_SCHEDULE,
                     ))
                     if c[5] == 0.0:
                         return c[:5], None

@@ -190,14 +190,29 @@ def _decode_edge(dc, num_iterations, w_vc, w_chk, llr, scat_ref, gath_ref,
     any_dummy = (any(slab_has_dummy) if slab_has_dummy is not None else True)
     block = llr.shape[0]
     # independent row-chunk chains inside one loop body: the scheduler can
-    # overlap chunk A's VPU tournament with chunk B's matmuls (the single
-    # chain leaves MXU and VPU each ~25% occupied).  Measured on v5e at
-    # block 512: chunks=2 16.4 M cw/s, chunks=4 17.5 M cw/s (bench default)
-    chunks = int(os.environ.get("SLDPC_EDGE_CHUNKS", "4"))
+    # overlap chunk A's VPU tournament with chunk B's matmuls (a single
+    # chain leaves MXU and VPU each under-occupied).  With the lane-packed
+    # tournament below, 2 chunks is the measured optimum on v5e at block 512
+    # (24.5 M cw/s vs 24.1 at 4 chunks, 23.5 at 8, 12-iter compact MC)
+    chunks = int(os.environ.get("SLDPC_EDGE_CHUNKS", "2"))
     if block % chunks or block < 64 * chunks:
         chunks = 2 if block % 2 == 0 and block >= 128 else 1
     half = block // chunks
     rows = [slice(c * half, (c + 1) * half) for c in range(chunks)]
+
+    # lane packing: for codes with m < 128 the per-slab (rows, m) VPU ops
+    # leave 128-m lanes idle, and the tournament/output chains are where the
+    # kernel's VPU time goes (the MXU matmuls are ~1/3 of the iteration).
+    # Process P adjacent slabs (lane width P*m) per op — P the largest power
+    # of two with P*m <= 128 dividing dc — then fold the packed halves down
+    # to per-check values with log2(P) half-width merges.  For CCSDS
+    # (128,64) this halves the VPU slot count (measured 16.6 -> 21+ M cw/s
+    # one-shot 12-iter on v5e).
+    p = 1
+    while p * 2 * m <= 128 and dc % (p * 2) == 0:
+        p *= 2
+    ngroups = dc // p
+    w = p * m
 
     def _chunk_iter(cv, win):
         total = dot_scat(cv) + win
@@ -206,33 +221,56 @@ def _decode_edge(dc, num_iterations, w_vc, w_chk, llr, scat_ref, gath_ref,
             vc = vc + bias_ref[:]
         mag = jnp.abs(vc)
         sgn = jnp.where(vc > 0.0, 1.0, jnp.where(vc < 0.0, -1.0, 0.0))
-        # min/submin tournament over the dc static lane slices; update min2
-        # with the old min1 BEFORE lowering min1 so a duplicated minimum
-        # lands in min2 (the reference top-k rule)
-        min1 = mag[:, :m]
-        min2 = jnp.full_like(min1, _BIG)
-        row_sign = sgn[:, :m]
-        for j in range(1, dc):
-            mj = mag[:, j * m:(j + 1) * m]
-            min2 = jnp.minimum(min2, jnp.maximum(min1, mj))
-            min1 = jnp.minimum(min1, mj)
-            row_sign = row_sign * sgn[:, j * m:(j + 1) * m]
-        # hoist the normalization out of the per-slab multiply chain; build
-        # the new cv per slab (lane slices)
+        # min/submin tournament over the ngroups full-width lane slices;
+        # update min2 with the old min1 BEFORE lowering min1 so a duplicated
+        # minimum lands in min2 (the reference top-k rule, multiset
+        # semantics)
+        min1 = mag[:, :w]
+        min2 = None
+        sign_prod = sgn[:, :w]
+        for g in range(1, ngroups):
+            mg = mag[:, g * w:(g + 1) * w]
+            mx = jnp.maximum(min1, mg)
+            min2 = mx if min2 is None else jnp.minimum(min2, mx)
+            min1 = jnp.minimum(min1, mg)
+            sign_prod = sign_prod * sgn[:, g * w:(g + 1) * w]
+        # fold the P packed slabs down to per-check width m; merging two
+        # multisets' (min1, min2) keeps exact two-smallest semantics:
+        # min2 = min(min2_a, min2_b, max(min1_a, min1_b))
+        width = w
+        while width > m:
+            half = width // 2
+            a1, b1 = min1[:, :half], min1[:, half:width]
+            mx = jnp.maximum(a1, b1)
+            if min2 is None:
+                min2 = mx
+            else:
+                min2 = jnp.minimum(jnp.minimum(min2[:, :half],
+                                               min2[:, half:width]), mx)
+            min1 = jnp.minimum(a1, b1)
+            sign_prod = sign_prod[:, :half] * sign_prod[:, half:width]
+            width = half
+        # hoist the normalization out of the per-group multiply chain and
+        # broadcast the per-check values back to packed width
         wmin1 = w_chk * min1
         wmin2 = w_chk * min2
+        if p > 1:
+            min1 = jnp.concatenate([min1] * p, axis=1)
+            wmin1 = jnp.concatenate([wmin1] * p, axis=1)
+            wmin2 = jnp.concatenate([wmin2] * p, axis=1)
+            sign_prod = jnp.concatenate([sign_prod] * p, axis=1)
         outs = []
-        for j in range(dc):
-            sl = slice(j * m, (j + 1) * m)
+        for g in range(ngroups):
+            sl = slice(g * w, (g + 1) * w)
             emag = jnp.where(mag[:, sl] > min1, wmin1, wmin2)
-            outs.append(emag * (row_sign * sgn[:, sl]))
+            outs.append(emag * (sign_prod * sgn[:, sl]))
         return outs
 
     def body(_, carry):
         outs = [_chunk_iter(cv_ref[r, :], weighted_in[r, :]) for r in rows]
         for r, out in zip(rows, outs):
-            for j in range(dc):
-                cv_ref[r, j * m:(j + 1) * m] = out[j]
+            for g in range(ngroups):
+                cv_ref[r, g * w:(g + 1) * w] = out[g]
         return carry
 
     jax.lax.fori_loop(0, num_iterations, body, 0, unroll=False)
@@ -497,34 +535,37 @@ def _scatter_dot(ct, y, mode):
     )
 
 
-def _mc_compact_kernel(dc, t1, t2, sigma, mean, mode, slab_has_dummy,
-                       compact_rows,
-                       scalars_ref, scat_ref, gath_ref, bias_ref, h_ref,
-                       g_ref, out_ref, cv_ref, cv2_ref):
-    """Fused MC kernel with IN-KERNEL convergence compaction.
+def _mc_schedule_kernel(dc, schedule, final_iters, sigma, mean, mode,
+                        slab_has_dummy,
+                        scalars_ref, scat_ref, gath_ref, bias_ref, h_ref,
+                        g_ref, out_ref, *cv_refs):
+    """Fused MC kernel with MULTI-STAGE in-kernel convergence compaction.
 
-    Runs ``t1`` iterations for the whole block, checks syndromes once, then
-    compacts the unconverged rows (typically ~1/3 at the bench operating
-    point) into a ``compact_rows``-row sub-block via one-hot MXU gathers —
-    carrying their cv messages, so the continued ``t2`` iterations compute
-    exactly what the one-shot kernel would — and scatters the finished soft
-    values back.  Converged frames keep their zero-syndrome decision (the
+    ``schedule`` is a tuple of ``(iters_i, rows_i)`` stages: run ``iters_i``
+    NMS iterations on the current (sub-)block, check syndromes once, then
+    compact the unconverged rows (typically ~1/3 after 4 iterations at the
+    bench operating point, ~1/5 after 6) into a ``rows_i``-row sub-block via
+    one-hot MXU gathers — carrying their cv messages, so the continued
+    iterations compute exactly what the one-shot kernel would — and finish
+    with ``final_iters`` iterations on the innermost sub-block.  Soft values
+    are scattered back through the stage chain in reverse; rows that converge
+    at a stage boundary keep that stage's zero-syndrome decision (the
     reference's ``qualified`` accounting, ``ms_test.py:36-54``; measured
     indistinguishable from the full-T decision, scripts/cascade_fer_check.py).
 
-    Counter tile lane 5 counts frames that did not fit ``compact_rows``
-    (judged at t1; P ~ 1e-14 per block at the default half-block capacity).
+    Counter tile lane 5 counts frames that did not fit a stage's capacity
+    (summed over stages; judged at the stage check).  ``cv_refs`` holds one
+    message scratch per nesting level: (block, edges), (rows_1, edges), ...
     """
-    seed = scalars_ref[0]
     w_vc = scalars_ref[1]
     w_chk = scalars_ref[2]
     w_marg = scalars_ref[3]
     h = h_ref[:]
     g = g_ref[:]
     k = g.shape[0]
-    bt = cv_ref.shape[0]
+    bt = cv_refs[0].shape[0]
     n = h.shape[1]
-    pltpu.prng_seed(seed.astype(jnp.int32), pl.program_id(0))
+    pltpu.prng_seed(scalars_ref[0].astype(jnp.int32), pl.program_id(0))
 
     # --- sample (as _mc_kernel) ---
     msg_bits = pltpu.bitcast(pltpu.prng_random_bits((bt, k)), jnp.int32)
@@ -534,47 +575,56 @@ def _mc_compact_kernel(dc, t1, t2, sigma, mean, mode, slab_has_dummy,
     z = _standard_normals(bt, n)
     llr = (1.0 - 2.0 * codeword) * (mean + sigma * z)
 
-    # --- phase 1: t1 iterations, full block ---
-    colsum1 = _decode_edge(dc, t1, w_vc, w_chk, llr, scat_ref, gath_ref,
-                           bias_ref, cv_ref, mode, slab_has_dummy)
-    soft1 = colsum1 + w_marg * llr
-    hard1 = (soft1 < 0.0).astype(jnp.float32)
-    synd1 = jnp.dot(hard1, h.T, preferred_element_type=jnp.float32)
-    synd1 = synd1 - 2.0 * jnp.floor(synd1 * 0.5)
-    u = jnp.max(synd1, axis=1, keepdims=True)  # (bt, 1) 1 = unconverged
-
-    # --- compaction map: rank among unconverged rows (exclusive prefix sum
-    # via a strict-lower-triangular MXU matmul; 0/1 operands are bf16-exact
-    # and sums accumulate in f32, so ranks are exact) ---
-    tri = (
-        jax.lax.broadcasted_iota(jnp.int32, (bt, bt), 0)
-        > jax.lax.broadcasted_iota(jnp.int32, (bt, bt), 1)
-    ).astype(jnp.float32)
-    rank = jnp.dot(tri, u, preferred_element_type=jnp.float32)  # (bt, 1)
-    covered = u * (rank < compact_rows).astype(jnp.float32)  # (bt, 1)
-    # int iota + cast: Mosaic's tpu.iota only produces integer vectors
-    lanes_r = jax.lax.broadcasted_iota(
-        jnp.int32, (bt, compact_rows), 1
-    ).astype(jnp.float32)
-    ct = (lanes_r == rank).astype(jnp.float32) * covered  # (bt, rows)
-
-    # --- gather unconverged rows + their messages; continue t2 iterations.
-    # The gathers stay at >= split exactness even in bf16 mode: a single-pass
-    # bf16 gather of the resumed cv messages injects 2^-9 rounding at the
-    # phase boundary, which measurably biases marginal frames toward failure
-    # (same-seed frame_err +193/2.1M vs one-shot); at 2^-17 the divergence is
-    # only the converged-frame early judgment ---
+    # The cv/llr gathers at each stage boundary stay at >= split exactness
+    # even in bf16 mode: a single-pass bf16 gather of the resumed cv messages
+    # injects 2^-9 rounding at the boundary, which measurably biases marginal
+    # frames toward failure (same-seed frame_err +193/2.1M vs one-shot); at
+    # 2^-17 the divergence is only the converged-frame early judgment.
     gmode = "highest" if mode == "highest" else "split"
-    llr_c = _gather_dot(ct, llr, gmode)
-    cv2_ref[:] = _gather_dot(ct, cv_ref[:], gmode)
-    colsum_c = _decode_edge(dc, t2, w_vc, w_chk, llr_c, scat_ref, gath_ref,
-                            bias_ref, cv2_ref, mode, slab_has_dummy,
-                            init_cv=False)
-    soft_c = colsum_c + w_marg * llr_c
+    overflow = [jnp.float32(0.0)]
 
-    # --- scatter back; converged/overflowed rows keep their t1 decision ---
-    scat_soft = _scatter_dot(ct, soft_c, mode)
-    soft = jnp.where(covered > 0.5, scat_soft, soft1)
+    def run(idx, llr_s):
+        cv_ref_s = cv_refs[idx]
+        if idx == len(schedule):
+            colsum = _decode_edge(dc, final_iters, w_vc, w_chk, llr_s,
+                                  scat_ref, gath_ref, bias_ref, cv_ref_s,
+                                  mode, slab_has_dummy, init_cv=(idx == 0))
+            return colsum + w_marg * llr_s
+        iters_i, rows_next = schedule[idx]
+        colsum = _decode_edge(dc, iters_i, w_vc, w_chk, llr_s, scat_ref,
+                              gath_ref, bias_ref, cv_ref_s, mode,
+                              slab_has_dummy, init_cv=(idx == 0))
+        soft_i = colsum + w_marg * llr_s
+        hard_i = (soft_i < 0.0).astype(jnp.float32)
+        synd_i = jnp.dot(hard_i, h.T, preferred_element_type=jnp.float32)
+        synd_i = synd_i - 2.0 * jnp.floor(synd_i * 0.5)
+        rows = llr_s.shape[0]
+        u = jnp.max(synd_i, axis=1, keepdims=True)  # (rows, 1) 1 = unconverged
+
+        # compaction map: rank among unconverged rows (exclusive prefix sum
+        # via a strict-lower-triangular MXU matmul; 0/1 operands are
+        # bf16-exact and sums accumulate in f32, so ranks are exact)
+        tri = (
+            jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+            > jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+        ).astype(jnp.float32)
+        rank = jnp.dot(tri, u, preferred_element_type=jnp.float32)
+        covered = u * (rank < rows_next).astype(jnp.float32)  # (rows, 1)
+        # int iota + cast: Mosaic's tpu.iota only produces integer vectors
+        lanes_r = jax.lax.broadcasted_iota(
+            jnp.int32, (rows, rows_next), 1
+        ).astype(jnp.float32)
+        ct = (lanes_r == rank).astype(jnp.float32) * covered  # (rows, rows_next)
+
+        cv_refs[idx + 1][:] = _gather_dot(ct, cv_ref_s[:], gmode)
+        soft_next = run(idx + 1, _gather_dot(ct, llr_s, gmode))
+
+        # scatter back; converged/overflowed rows keep this stage's decision
+        overflow[0] = overflow[0] + (jnp.sum(u) - jnp.sum(covered))
+        scat_soft = _scatter_dot(ct, soft_next, mode)
+        return jnp.where(covered > 0.5, scat_soft, soft_i)
+
+    soft = run(0, llr)
 
     # --- count (as _mc_kernel, + overflow lane) ---
     hard = (soft < 0.0).astype(jnp.float32)
@@ -585,7 +635,6 @@ def _mc_compact_kernel(dc, t1, t2, sigma, mean, mode, slab_has_dummy,
     synd = synd - 2.0 * jnp.floor(synd * 0.5)
     detected = jnp.max(synd, axis=1, keepdims=True)
     undetected = jnp.maximum(frame_err - detected, 0.0)
-    overflow = jnp.sum(u) - jnp.sum(covered)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
     row = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
     vals = (
@@ -594,7 +643,7 @@ def _mc_compact_kernel(dc, t1, t2, sigma, mean, mode, slab_has_dummy,
         + jnp.where(lane == 2, bit_err, 0.0)
         + jnp.where(lane == 3, jnp.sum(detected), 0.0)
         + jnp.where(lane == 4, jnp.sum(undetected), 0.0)
-        + jnp.where(lane == 5, overflow, 0.0)
+        + jnp.where(lane == 5, overflow[0], 0.0)
     )
     out_ref[:] = jnp.where(row == 0, vals, 0.0)
 
@@ -602,21 +651,27 @@ def _mc_compact_kernel(dc, t1, t2, sigma, mean, mode, slab_has_dummy,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "t1", "t2", "batch", "sigma", "mean", "block_frames", "compact_rows",
+        "schedule", "final_iters", "batch", "sigma", "mean", "block_frames",
         "interpret", "mode", "slab_has_dummy",
     ),
 )
-def _mc_compact_jit(params_vec, scatter, gather, bias, h, g, t1, t2, batch,
-                    sigma, mean, block_frames, compact_rows, interpret,
-                    mode="bf16", slab_has_dummy=None):
+def _mc_schedule_jit(params_vec, scatter, gather, bias, h, g, schedule,
+                     final_iters, batch, sigma, mean, block_frames, interpret,
+                     mode="bf16", slab_has_dummy=None):
     edges, n = scatter.shape
     m = h.shape[0]
     dc = edges // m
     if batch % block_frames:
         raise ValueError(f"batch {batch} not a multiple of {block_frames}")
+    rows_prev = block_frames
+    for iters_i, rows_i in schedule:
+        if rows_i >= rows_prev or rows_i % 8:
+            raise ValueError(f"schedule rows must decrease in multiples of 8, "
+                             f"got {schedule}")
+        rows_prev = rows_i
     grid = (batch // block_frames,)
-    kernel = functools.partial(_mc_compact_kernel, dc, t1, t2, sigma, mean,
-                               mode, slab_has_dummy, compact_rows)
+    kernel = functools.partial(_mc_schedule_kernel, dc, schedule, final_iters,
+                               sigma, mean, mode, slab_has_dummy)
     per_block = pl.pallas_call(
         kernel,
         grid=grid,
@@ -632,9 +687,8 @@ def _mc_compact_jit(params_vec, scatter, gather, bias, h, g, t1, t2, batch,
             (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((grid[0], 8, 128), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((block_frames, edges), jnp.float32),
-            pltpu.VMEM((compact_rows, edges), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_frames, edges), jnp.float32)] + [
+            pltpu.VMEM((rows_i, edges), jnp.float32) for _, rows_i in schedule
         ],
         interpret=interpret,
     )(params_vec, jnp.asarray(scatter), jnp.asarray(gather), jnp.asarray(bias),
@@ -642,24 +696,50 @@ def _mc_compact_jit(params_vec, scatter, gather, bias, h, g, t1, t2, batch,
     return jnp.sum(per_block[:, 0, :6], axis=0)
 
 
+# Default schedule (fraction of block_frames): 4 iterations on the full
+# block -> compact the unconverged rows (~1/3 at the 3.0 dB bench point, so
+# capacity 0.40625 = 208/512 sits ~3.7 sigma above the mean; overflow is
+# counted in lane 5 and the MC harness redoes an overflowed step one-shot).
+# Deeper schedules were measured and rejected: with the lane-packed
+# tournament an extra stage's boundary cost (syndrome check + rank matmul +
+# split-exactness cv gather) exceeds the iterations it saves —
+# ((4,.5),(2,.25)) 23.8 vs ((4,.5),) 24.0 M cw/s on v5e.
+DEFAULT_COMPACT_SCHEDULE = ((4, 0.40625),)
+
+
 def fused_counters_edge_compact(code, params, variant, num_iterations, snr_db,
                                 batch, seed, t1: int = 4,
                                 block_frames: int = 512, mode: str = "bf16",
                                 compact_frac: float = 0.5,
+                                schedule=None,
                                 interpret: bool = False):
     """Early-termination counters [frames, frame_err, bit_err, detected,
-    undetected, overflow] via in-kernel convergence compaction."""
+    undetected, overflow] via in-kernel convergence compaction.
+
+    ``schedule`` is a tuple of ``(iters, frac)`` compaction stages (fractions
+    of ``block_frames``); when None, a single ``(t1, compact_frac)`` stage is
+    used (backward-compatible form).  Iterations after the last stage run on
+    the innermost sub-block."""
     from ..channel import sigma_for_snr
     from .nms import _weights
 
     w_vc, w_chk, w_marg = _weights(params, variant)
     vec = jnp.stack([jnp.float32(seed), w_vc, w_chk, w_marg]).astype(jnp.float32)
     scatter, gather, bias, slab_has_dummy = edge_layout_stacked(code.h)
-    compact_rows = max(64, int(block_frames * compact_frac))
-    return _mc_compact_jit(
+    if schedule is None:
+        schedule = ((t1, compact_frac),)
+    rows_schedule = []
+    spent = 0
+    for iters_i, frac in schedule:
+        if spent + iters_i >= num_iterations:
+            break  # not enough iterations left to be worth a stage
+        rows_schedule.append((iters_i, max(64, int(block_frames * frac))))
+        spent += iters_i
+    rows_schedule = tuple(rows_schedule)
+    return _mc_schedule_jit(
         vec, scatter, gather, bias,
         np.asarray(code.h, np.float32), np.asarray(code.g, np.float32),
-        t1, num_iterations - t1, batch,
+        rows_schedule, num_iterations - spent, batch,
         float(sigma_for_snr(snr_db, code.rate)), 1.0, block_frames,
-        compact_rows, interpret, mode, slab_has_dummy,
+        interpret, mode, slab_has_dummy,
     )
