@@ -707,6 +707,21 @@ def _mc_schedule_jit(params_vec, scatter, gather, bias, h, g, schedule,
 DEFAULT_COMPACT_SCHEDULE = ((4, 0.40625),)
 
 
+def build_rows_schedule(schedule, block_frames: int, num_iterations: int):
+    """((iters, frac), ...) -> ((iters, rows), ...) truncated to the stages
+    that leave at least one iteration after them.  Row capacities are
+    ``max(64, int(block_frames * frac))`` (64 = one sublane tile of frames;
+    below that the gather/scatter overhead always exceeds the savings)."""
+    rows_schedule = []
+    spent = 0
+    for iters_i, frac in schedule:
+        if spent + iters_i >= num_iterations:
+            break  # not enough iterations left to be worth a stage
+        rows_schedule.append((iters_i, max(64, int(block_frames * frac))))
+        spent += iters_i
+    return tuple(rows_schedule), num_iterations - spent
+
+
 def fused_counters_edge_compact(code, params, variant, num_iterations, snr_db,
                                 batch, seed, t1: int = 4,
                                 block_frames: int = 512, mode: str = "bf16",
@@ -728,18 +743,12 @@ def fused_counters_edge_compact(code, params, variant, num_iterations, snr_db,
     scatter, gather, bias, slab_has_dummy = edge_layout_stacked(code.h)
     if schedule is None:
         schedule = ((t1, compact_frac),)
-    rows_schedule = []
-    spent = 0
-    for iters_i, frac in schedule:
-        if spent + iters_i >= num_iterations:
-            break  # not enough iterations left to be worth a stage
-        rows_schedule.append((iters_i, max(64, int(block_frames * frac))))
-        spent += iters_i
-    rows_schedule = tuple(rows_schedule)
+    rows_schedule, final_iters = build_rows_schedule(
+        schedule, block_frames, num_iterations)
     return _mc_schedule_jit(
         vec, scatter, gather, bias,
         np.asarray(code.h, np.float32), np.asarray(code.g, np.float32),
-        rows_schedule, num_iterations - spent, batch,
+        rows_schedule, final_iters, batch,
         float(sigma_for_snr(snr_db, code.rate)), 1.0, block_frames,
         interpret, mode, slab_has_dummy,
     )

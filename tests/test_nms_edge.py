@@ -183,3 +183,30 @@ def test_edge_decode_bf16_mode(code):
     )
     np.testing.assert_allclose(got, ref, atol=0.3, rtol=0.3)
     assert ((got < 0) == (ref < 0)).mean() >= 0.995
+
+
+def test_build_rows_schedule():
+    """Stage truncation + capacity floor for the compaction schedule."""
+    from short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas import (
+        DEFAULT_COMPACT_SCHEDULE,
+        build_rows_schedule,
+    )
+
+    # normal case: both stages fit within 12 iterations
+    rows, final = build_rows_schedule(((4, 0.5), (2, 0.25)), 512, 12)
+    assert rows == ((4, 256), (2, 128)) and final == 6
+    # a stage that would leave no iterations after it is dropped
+    rows, final = build_rows_schedule(((4, 0.5), (2, 0.25)), 512, 6)
+    assert rows == ((4, 256),) and final == 2
+    # too few iterations for any stage: pure one-shot (final == all iters)
+    rows, final = build_rows_schedule(((4, 0.5),), 512, 4)
+    assert rows == () and final == 4
+    # capacity floor of 64 rows (one sublane tile of frames)
+    rows, final = build_rows_schedule(((4, 0.05),), 512, 12)
+    assert rows == ((4, 64),) and final == 8
+    # default schedule resolves to strictly decreasing multiples of 8
+    rows, final = build_rows_schedule(DEFAULT_COMPACT_SCHEDULE, 512, 12)
+    prev = 512
+    for _, r in rows:
+        assert r < prev and r % 8 == 0
+        prev = r
