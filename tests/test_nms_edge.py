@@ -210,3 +210,35 @@ def test_build_rows_schedule():
     for _, r in rows:
         assert r < prev and r % 8 == 0
         prev = r
+
+
+def _regular_row_code(m, n, dc, seed):
+    """Random H with every row weight exactly dc and no zero column."""
+    rng = np.random.default_rng(seed)
+    while True:
+        h = np.zeros((m, n), np.uint8)
+        for i in range(m):
+            h[i, rng.choice(n, size=dc, replace=False)] = 1
+        if h.sum(axis=0).min() >= 1:
+            try:
+                return Code.from_parity(h, f"regular_{m}_{n}_{dc}")
+            except ValueError:
+                continue
+
+
+@pytest.mark.parametrize("m,n,dc", [(16, 32, 4), (32, 64, 4)])
+def test_edge_decode_lane_packed_small_m(m, n, dc):
+    """Lane-packing fold paths: (16,32,dc=4) packs P=4 slabs into one group
+    (ngroups=1, two half-width folds, min2 seeded inside the fold);
+    (32,64,dc=4) packs P=2 with ngroups=2.  Both must match the XLA golden."""
+    code = _regular_row_code(m, n, dc, seed=11)
+    llr = _llr(code, 32, seed=7)
+    params = nms.init_params("NMS-1")
+    ref = np.asarray(
+        nms.decode_final(params, jnp.asarray(code.h, jnp.float32), llr, 8, "NMS-1")
+    )
+    got = np.asarray(
+        decode_final_edge(params, code.h, llr, 8, "NMS-1",
+                          block_frames=16, interpret=True, mode="highest")
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
