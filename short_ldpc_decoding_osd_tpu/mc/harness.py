@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -225,6 +226,12 @@ def run_nms_mc(
         eblock = edge_auto(code.m, code.n, dc)
         while eblock >= 8 and batch % eblock:
             eblock //= 2
+        # the compaction machinery (sub-block scratch, rank/one-hot maps)
+        # needs its own, smaller block to fit scoped VMEM
+        cfrac = DEFAULT_COMPACT_SCHEDULE[0][1]
+        cblock = edge_auto(code.m, code.n, dc, compact_frac=cfrac)
+        while cblock >= 8 and batch % cblock:
+            cblock //= 2
         block = auto_block_frames(code.m, code.n)
         if eblock >= 8:
             # in-kernel convergence compaction when enough iterations remain
@@ -232,39 +239,84 @@ def run_nms_mc(
             # compacted capacity (low SNR: >1/2 of frames unconverged at T1)
             # the overflowed step is REDONE with the one-shot kernel and the
             # harness stays one-shot — overflowed frames are judged at T1,
-            # which would bias FER upward if kept
+            # which would bias FER upward if kept.  The VMEM fit model in
+            # auto_block_frames is calibrated, not exact (Mosaic's scoped
+            # allocation for large edge counts exceeds any linear estimate),
+            # so every fused kernel is also guarded at runtime: a compile
+            # failure demotes compact -> one-shot -> halved blocks -> the
+            # plain XLA step, preserving the sweep instead of crashing it.
             t1 = 4
-            compact_ok = num_iterations > t1 + 1 and eblock >= 128
+            state = {
+                "compact": num_iterations > t1 + 1 and cblock >= 128,
+                "eblock": eblock,
+                "xla": None,
+                "idx": 0,
+            }
 
-            def step(p, key_unused, _idx=[0], _compact=[True]):
-                del key_unused
-                s = seed * 100003 + _idx[0]
-                _idx[0] += 1
-                if compact_ok and _compact[0]:
-                    c = np.asarray(fused_counters_edge_compact(
-                        code, p, variant, num_iterations, snr_db, batch,
-                        seed=s, t1=t1, block_frames=eblock,
-                        schedule=DEFAULT_COMPACT_SCHEDULE,
-                    ))
-                    if c[5] == 0.0:
-                        return c[:5], None
-                    _compact[0] = False  # fall through: redo one-shot
-                c = fused_counters_edge(
-                    code, p, variant, num_iterations, snr_db, batch,
-                    seed=s, block_frames=eblock,
+            def step(p, key):
+                s = seed * 100003 + state["idx"]
+                state["idx"] += 1
+                if state["xla"] is not None:
+                    return state["xla"](p, key)
+                if state["compact"]:
+                    try:
+                        c = np.asarray(fused_counters_edge_compact(
+                            code, p, variant, num_iterations, snr_db, batch,
+                            seed=s, t1=t1, block_frames=cblock,
+                            schedule=DEFAULT_COMPACT_SCHEDULE,
+                        ))
+                        if c[5] == 0.0:
+                            return c[:5], None
+                    except Exception as e:  # VMEM/lowering failure
+                        warnings.warn(
+                            f"compact MC kernel failed ({str(e)[:200]}); "
+                            "falling back to the one-shot kernel")
+                    state["compact"] = False  # fall through: redo one-shot
+                while state["eblock"] >= 8:
+                    try:
+                        c = np.asarray(fused_counters_edge(
+                            code, p, variant, num_iterations, snr_db, batch,
+                            seed=s, block_frames=state["eblock"],
+                        ))
+                        return c, None
+                    except Exception as e:
+                        warnings.warn(
+                            f"one-shot edge MC kernel failed at block "
+                            f"{state['eblock']} ({str(e)[:200]}); halving")
+                        state["eblock"] //= 2
+                        while state["eblock"] >= 8 and batch % state["eblock"]:
+                            state["eblock"] //= 2
+                warnings.warn(
+                    "edge MC kernels do not fit on this code; using the "
+                    "plain XLA MC step")
+                state["xla"] = build_nms_mc_step(
+                    code, variant, num_iterations, spec, batch,
+                    capture_capacity=capacity,
                 )
-                return c, None
+                return state["xla"](p, key)
 
         elif block >= 8 and batch % block == 0:
+            dstate = {"xla": None, "idx": 0}
 
-            def step(p, key_unused, _idx=[0]):
-                del key_unused
-                c = fused_counters(
-                    code, p, variant, num_iterations, snr_db, batch,
-                    seed=seed * 100003 + _idx[0], block_frames=block,
-                )
-                _idx[0] += 1
-                return c, None
+            def step(p, key):
+                s = seed * 100003 + dstate["idx"]
+                dstate["idx"] += 1
+                if dstate["xla"] is None:
+                    try:
+                        c = np.asarray(fused_counters(
+                            code, p, variant, num_iterations, snr_db, batch,
+                            seed=s, block_frames=block,
+                        ))
+                        return c, None
+                    except Exception as e:  # VMEM/lowering failure
+                        warnings.warn(
+                            f"dense MC kernel failed ({str(e)[:200]}); "
+                            "using the plain XLA MC step")
+                        dstate["xla"] = build_nms_mc_step(
+                            code, variant, num_iterations, spec, batch,
+                            capture_capacity=capacity,
+                        )
+                return dstate["xla"](p, key)
 
         else:
             use_fused = False

@@ -103,31 +103,56 @@ def edge_layout_stacked(h):
     return _edge_layout_stacked_cached(h.tobytes(), *h.shape)
 
 
-def auto_block_frames(m: int, n: int, dc: int, vmem_bytes: int = 16 * 2**20) -> int:
+def auto_block_frames(m: int, n: int, dc: int, vmem_bytes: int = 16 * 2**20,
+                      compact_frac: float | None = None) -> int:
     """Largest power-of-two frame block fitting scoped VMEM.
 
     Working-set model for the STACKED layout of ``_decode_edge``:
 
     * constants: scat ``(dc*m, n)`` + gath ``(n, dc*m)`` + bias, plus h and g
-      for the fused-MC variant — ``(2*dc*m*n + 2*m*n)`` f32;
+      for the fused-MC variant — ``(2*dc*m*n + 2*m*n)`` f32, DOUBLE-buffered:
+      Mosaic allocates two buffers even for constant-index inputs (observed
+      on v5e: the (512,256) dc=10 code, whose incidence constants alone are
+      10.5 MiB, fails scoped-VMEM at every block size incl. 8);
     * per frame: the ``(block, dc*m)`` cv scratch plus llr/weighted-in/out
       rows (``dc*m + 3n`` f32), plus the per-chunk live set — vc/mag/sgn
       slabs (``3*dc*m``), the min/submin tournament registers
       (``(5+dc)*m``) and the column total (``n``) — amortised over the 2
       row chunks the body runs at ``block >= 128``;
-    * a 2x factor on the block-sized part for pipeline double-buffering.
+    * a 2x factor on the block-sized part for pipeline double-buffering;
+    * the fused-MC kernels' sampling/count temporaries — message bits,
+      Box-Muller intermediates, codeword/llr/soft/syndrome rows — modeled
+      as ``(7n + m)`` f32 per frame.  This term reproduces the two observed
+      scoped-VMEM OOMs on v5e to ~0.2 MiB: the (512,256) dc=10 one-shot
+      kernel at block 64 (17.51 MiB vs the 16 MiB limit) and the (256,128)
+      dc=10 compact kernel at block 256 (16.15 MiB);
+    * with ``compact_frac`` (convergence-compaction kernels): the sub-block
+      cv scratch (``rows * dc*m`` f32) and the rank/one-hot maps, whose
+      ``(block, block)`` tri matrix makes the requirement quadratic in the
+      block;
+    * a 1 MiB calibration margin.
 
     The cap of 512 is empirical, not a VMEM fit: larger blocks satisfy this
     estimate for small codes but fail Mosaic scheduling on v5e, and 512 is
     also the measured throughput peak.  (For CCSDS (128,64) the model itself
     also tops out at 512.)  Returns 0 if even 8 frames don't fit."""
-    const = (2 * dc * m * n + 2 * m * n) * 4
+    const = (2 * dc * m * n + 2 * m * n) * 4 * 2  # x2: Mosaic double-buffers
     per_chunk_live = ((3 * dc + 5 + dc) * m + n) * 4 // 2
     per_frame = (dc * m + 3 * n) * 4 + per_chunk_live
+
+    def fits(b: int) -> bool:
+        need = b * 2 * per_frame + const
+        need += b * (7 * n + m) * 4  # MC sampling/count temporaries
+        if compact_frac:
+            rows = max(64, int(b * compact_frac))
+            need += rows * dc * m * 4  # sub-block cv scratch
+            need += b * (b + rows) * 4  # tri rank matrix + one-hot map
+        return need + 2**20 <= vmem_bytes
+
     block = 8
-    while block * 2 * per_frame + const <= vmem_bytes and block < 512:
+    while block < 512 and fits(block * 2):
         block *= 2
-    return 0 if block * per_frame + const > vmem_bytes else block
+    return 0 if not fits(block) else block
 
 
 def _decode_edge(dc, num_iterations, w_vc, w_chk, llr, scat_ref, gath_ref,

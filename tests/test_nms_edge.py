@@ -166,6 +166,14 @@ def test_auto_block_frames_caps():
     assert auto_block_frames(64, 128, 8) == 512
     # huge code: constants alone blow VMEM -> 0 (fall back to XLA/dense)
     assert auto_block_frames(1024, 2048, 32) == 0
+    # (512,256) dc=10: the double-buffered incidence constants (2 x 10.5 MiB)
+    # exceed scoped VMEM at every block size (observed on v5e) -> 0
+    assert auto_block_frames(256, 512, 10) == 0
+    # (256,128) dc=10: one-shot fit observed to fail at block 256 on v5e
+    # (17.01 MiB vs 16 MiB) and compile at 128; the compact variant needs
+    # its sub-block scratch + rank maps on top
+    assert auto_block_frames(128, 256, 10) == 128
+    assert auto_block_frames(128, 256, 10, compact_frac=0.40625) <= 128
 
 
 def test_edge_decode_bf16_mode(code):
