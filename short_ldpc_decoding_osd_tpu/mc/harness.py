@@ -291,7 +291,7 @@ def run_nms_mc(
                     "plain XLA MC step")
                 state["xla"] = build_nms_mc_step(
                     code, variant, num_iterations, spec, batch,
-                    capture_capacity=capacity,
+                    capture_capacity=capacity, use_pallas=False,
                 )
                 return state["xla"](p, key)
 
@@ -314,7 +314,7 @@ def run_nms_mc(
                             "using the plain XLA MC step")
                         dstate["xla"] = build_nms_mc_step(
                             code, variant, num_iterations, spec, batch,
-                            capture_capacity=capacity,
+                            capture_capacity=capacity, use_pallas=False,
                         )
                 return dstate["xla"](p, key)
 

@@ -42,3 +42,38 @@ def test_capture_consistency_with_stats(code):
         jnp.asarray(fb.trajectories[:, -1]), jnp.asarray(fb.labels), h
     )
     assert bool(jnp.all(st["detected_failure"]))
+
+
+def test_fused_fallback_chain(monkeypatch, recwarn, code):
+    """A fused-kernel compile failure must demote compact -> one-shot ->
+    halved blocks -> the plain XLA step instead of crashing the sweep
+    (the VMEM fit model is calibrated, not exact; see mc/harness.py)."""
+    import warnings as _w
+
+    import short_ldpc_decoding_osd_tpu.mc.harness as harness
+    import short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas as ep
+
+    monkeypatch.setattr(harness.jax, "default_backend", lambda: "tpu")
+    calls = {"compact": 0, "oneshot": 0}
+
+    def boom_compact(*a, **k):
+        calls["compact"] += 1
+        raise RuntimeError("scoped vmem OOM (simulated)")
+
+    def boom_oneshot(*a, **k):
+        calls["oneshot"] += 1
+        raise RuntimeError("scoped vmem OOM (simulated)")
+
+    monkeypatch.setattr(ep, "fused_counters_edge_compact", boom_compact)
+    monkeypatch.setattr(ep, "fused_counters_edge", boom_oneshot)
+    params = nms.init_params("NMS-1")
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        stats, _ = run_nms_mc(
+            code, params, "NMS-1", 12, 3.0, batch=256, max_frames=256,
+            error_budget=10**9, seed=1,
+        )
+    assert stats.frames == 256  # the XLA step finished the sweep
+    assert 0 < stats.fer < 1
+    assert calls["compact"] == 1  # tried once, permanently demoted
+    assert calls["oneshot"] >= 1  # walked the halving ladder
