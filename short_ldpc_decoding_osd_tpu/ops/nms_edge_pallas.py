@@ -48,7 +48,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .mc_pallas import _standard_normals
 
-_BIG = 3.4e38
 _BIAS = 1e30
 _TWO_PI = 6.283185307179586
 
