@@ -38,22 +38,18 @@ def main():
     ap.add_argument("--out", default="runs/multihost_fer.json")
     args = ap.parse_args()
 
-    import jax
+    from short_ldpc_decoding_osd_tpu.parallel.mesh import init_multihost
 
-    if args.coordinator and args.num_processes > 1:
-        jax.distributed.initialize(
-            coordinator_address=args.coordinator,
-            num_processes=args.num_processes,
-            process_id=args.process_id,
-        )
+    init_multihost(args.coordinator, args.num_processes, args.process_id)
+    import jax
 
     import numpy as np
 
-    from short_ldpc_decoding_osd_tpu.channel import ChannelSpec
     from short_ldpc_decoding_osd_tpu.codes import get_code
+    from short_ldpc_decoding_osd_tpu.mc import run_nms_mc
     from short_ldpc_decoding_osd_tpu.ops import nms
-    from short_ldpc_decoding_osd_tpu.parallel import make_mesh, sharded_nms_mc_step
-    from short_ldpc_decoding_osd_tpu.utils.metrics import DecodeStats, wilson_interval
+    from short_ldpc_decoding_osd_tpu.parallel import make_mesh
+    from short_ldpc_decoding_osd_tpu.utils.metrics import wilson_interval
 
     code = get_code(args.code)
     if args.params:
@@ -69,29 +65,20 @@ def main():
     snrs = np.linspace(float(lo), float(hi), int(num))
     points = []
     for snr in snrs:
-        spec = ChannelSpec.awgn(float(snr), code.rate)
+        # the harness runs the fused edge-kernel ladder on every device of
+        # the mesh (counters psum over ICI/DCN); every host executes the same
+        # step sequence and sees identical psum'd counters, so the budget
+        # early-stop decisions agree across processes
+        t0 = time.time()
         with mesh:
-            step = sharded_nms_mc_step(
-                code, args.variant, args.iterations, spec,
-                args.per_device_batch, mesh,
+            stats, _ = run_nms_mc(
+                code, params, args.variant, args.iterations, float(snr),
+                batch=args.per_device_batch,
+                error_budget=args.error_budget,
+                max_frames=args.max_frames,
+                seed=int(snr * 1000),
+                mesh=mesh,
             )
-            stats = DecodeStats(bits_per_frame=code.n)
-            key = jax.random.PRNGKey(int(snr * 1000))
-            i = 0
-            t0 = time.time()
-            while (
-                stats.frames < args.max_frames
-                and stats.frame_errors <= args.error_budget
-            ):
-                c = np.asarray(step(params, jax.random.fold_in(key, i)))
-                i += 1
-                stats = stats.merge(
-                    DecodeStats(
-                        frames=int(c[0]), frame_errors=int(c[1]),
-                        bit_errors=int(c[2]), bits_per_frame=code.n,
-                        detected_failures=int(c[3]), undetected_errors=int(c[4]),
-                    )
-                )
         ci = wilson_interval(stats.frame_errors, stats.frames)
         point = {
             "snr_db": float(snr), **stats.to_dict(), "fer_ci": list(ci),

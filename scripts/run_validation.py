@@ -1,6 +1,6 @@
 #!/usr/bin/env python
-"""Round-1 validation driver: Pallas kernel check + full two-phase recipe on
-the real TPU, with persistent compile cache.  Artifacts -> runs/r1_validation.
+"""Validation driver: Pallas kernel check + full two-phase recipe on the
+real TPU, with persistent compile cache.  Artifacts -> runs/<tag>.
 
 Usage: python scripts/run_validation.py [--quick]
 """
@@ -76,7 +76,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-pallas", action="store_true")
-    ap.add_argument("--run-dir", default="runs/r1_validation")
+    ap.add_argument("--run-dir", default="runs/validation")
     args = ap.parse_args()
 
     results = {}

@@ -121,6 +121,40 @@ def main() -> int:
         check(f"mc compact{sched} same-seed", d <= budget and c_sch[0] == batch,
               f"d_frame_err={d:.0f} overflow={c_sch[5]:.0f}")
 
+    # --- sharded fused step on a 1-device TPU mesh: the shard_map bridge
+    # must reproduce the direct fused kernel EXACTLY (same seeds -> same
+    # in-kernel PRNG streams; device_seeds(s, i, 1) == single-device seed) ---
+    from short_ldpc_decoding_osd_tpu.parallel import (
+        device_seeds,
+        make_mesh,
+        sharded_fused_mc_step,
+    )
+
+    mesh1 = make_mesh(1)
+    with mesh1:
+        step = sharded_fused_mc_step(
+            code, "NMS-1", 12, 3.0, per_device_batch=4096, mesh=mesh1,
+            base_seed=5,
+        )
+        c_shard, _ = step(params, jax.random.PRNGKey(0), 0)
+    s0 = int(device_seeds(5, 0, 1)[0])
+    from short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas import (
+        auto_block_frames as edge_auto,
+    )
+
+    dc = int(code.h.sum(axis=1).max())
+    cblock = edge_auto(code.m, code.n, dc,
+                       compact_frac=DEFAULT_COMPACT_SCHEDULE[0][1])
+    while cblock >= 8 and 4096 % cblock:
+        cblock //= 2
+    c_direct = np.asarray(fused_counters_edge_compact(
+        code, params, "NMS-1", 12, 3.0, 4096, s0,
+        t1=4, block_frames=cblock, schedule=DEFAULT_COMPACT_SCHEDULE,
+    ))
+    check("sharded fused == direct (1-dev mesh, same seed)",
+          np.array_equal(np.asarray(c_shard), c_direct[:5]),
+          f"shard={np.asarray(c_shard)[:3]} direct={c_direct[:3]}")
+
     print("ALL PASS" if not failures else f"FAILURES: {failures}")
     return 0 if not failures else 1
 

@@ -66,11 +66,17 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--snrs", default="2.0:3.0:6")
     p.add_argument("--training-snr", type=float, default=2.7)
-    p.add_argument("--dia-model", default="model_cnn")
+    p.add_argument("--dia-model", default="model_cnn",
+                   choices=["model_cnn", "rnn_one", "rnn_two"])
     p.add_argument("--osd-budget", type=int, default=500)
     p.add_argument("--nms-budget", type=int, default=40000)
     p.add_argument("--train-failures", type=int, default=20000)
     p.add_argument("--max-frames", type=int, default=10**8)
+    p.add_argument("--frame-portions", default=None,
+                   help="comma-separated per-SNR-point fractions of "
+                        "--max-frames, low -> high SNR (reference "
+                        "portion_dis, Testing_data_gen_128/Main_test.py:"
+                        "90-106), e.g. 0.05,0.075,0.2,0.5,0.75,1.0")
 
     p = sub.add_parser("baseline", help="run an OSD baseline on NMS failures")
     _add_common(p)
@@ -183,6 +189,11 @@ def _dispatch(args):
             osd_failure_budget=args.osd_budget,
             train_failure_target=args.train_failures,
             max_frames_per_snr=args.max_frames,
+            frame_portions=(
+                tuple(float(x) for x in args.frame_portions.split(","))
+                if args.frame_portions
+                else ()
+            ),
             seed=args.seed,
         )
         curve = run_recipe(cfg, args.run_dir, _parse_snrs(args.snrs))
@@ -243,13 +254,51 @@ def _dispatch(args):
     raise SystemExit(f"unknown command {args.cmd}")
 
 
+def _baseline_failures(args, code, params, run, snr):
+    """One NMS failure capture per (run dir, SNR), shared across the four
+    ``baseline --kind`` invocations: the standard fs/pb/conventional/miracle
+    comparison is judged on the SAME failure set and pays the capture sweep
+    once instead of 4x."""
+    from ..mc import run_nms_mc
+    from ..mc.harness import FailureBatch
+
+    key = {
+        "snr_db": round(float(snr), 4),
+        "seed": args.seed,
+        "batch": args.batch,
+        "failure_budget": args.failure_budget,
+        "variant": args.variant,
+        "iterations": args.iterations,
+    }
+    tag = f"baseline_failures_{float(snr):.2f}dB"
+    if run.has(tag + ".json"):
+        meta = run.load_json(tag + ".json")
+        if meta.get("key") == key:
+            blob = np.load(run.path(tag + ".npz"))
+            fb = FailureBatch(blob["traj"], blob["labels"], int(blob["overflow"]))
+            return meta["fer_nms"], fb
+    stats, fb = run_nms_mc(
+        code, params, args.variant, args.iterations, float(snr),
+        batch=args.batch, error_budget=args.failure_budget * 40,
+        max_frames=10**7, seed=args.seed, capture_failures=True,
+        capture_limit=args.failure_budget * 4,
+    )
+    fer_nms = stats.detected_failures / max(stats.frames, 1)
+    np.savez_compressed(
+        run.path(tag + ".npz"),
+        traj=fb.trajectories, labels=fb.labels, overflow=fb.overflow,
+    )
+    run.save_json(tag + ".json", {"key": key, "fer_nms": fer_nms,
+                                  "stats": stats.to_dict()})
+    return fer_nms, fb
+
+
 def _run_baseline(args):
     """NMS failures -> one of the G-domain baselines, per SNR point."""
     import jax.numpy as jnp
 
     from ..baselines import conventional, fs_osd, pb_osd
     from ..codes import get_code
-    from ..mc import run_nms_mc
     from ..ops import nms as nms_ops
     from ..pipeline.recipe import RunDir
 
@@ -262,12 +311,7 @@ def _run_baseline(args):
     )
     results = []
     for snr in _parse_snrs(args.snrs):
-        stats, fb = run_nms_mc(
-            code, params, args.variant, args.iterations, float(snr),
-            batch=args.batch, error_budget=args.failure_budget * 40,
-            max_frames=10**7, seed=args.seed, capture_failures=True,
-            capture_limit=args.failure_budget * 4,
-        )
+        fer_nms, fb = _baseline_failures(args, code, params, run, snr)
         traj = fb.trajectories
         if not len(traj):
             results.append({"snr_db": float(snr), "note": "no failures"})
@@ -321,7 +365,7 @@ def _run_baseline(args):
                 "avg_teps": float(np.asarray(res["num_teps"]).mean()),
                 "suc_evals": float(np.asarray(res["suc_evals"]).mean()),
             }
-        out["fer_nms"] = stats.detected_failures / max(stats.frames, 1)
+        out["fer_nms"] = fer_nms
         if "fer_osd" in out:
             out["fer_total"] = out["fer_nms"] * out["fer_osd"]
         results.append(out)

@@ -8,7 +8,7 @@ for the OSD stages).  Failed frames are compacted on device into a
 fixed-capacity buffer (sort-by-flag + gather) instead of TFRecord files —
 SURVEY.md §7 decision 6 — with overflow accounted, never silently dropped.
 
-The multi-device version lives in ``parallel/mc_sharded.py``.
+The multi-device version lives in ``parallel/data_parallel.py``.
 """
 
 from __future__ import annotations
@@ -25,6 +25,66 @@ from ..channel import ChannelSpec, sample_batch
 from ..codes import Code
 from ..ops import nms
 from ..utils.metrics import DecodeStats
+
+
+# Fused-kernel error triage (the blanket ``except Exception`` it replaces
+# silently converted multi-hour sweeps to the ~25x-slower XLA step on ANY
+# error, including programming errors).  Three classes:
+#   'demote'    compile/VMEM/lowering failures — the VMEM fit model in
+#               ``auto_block_frames`` is calibrated, not exact, so these are
+#               expected and walk the fallback ladder;
+#   'transient' known-flaky TPU runtime errors on this host (e.g.
+#               FAILED_PRECONDITION on transfer) — retry the same config once
+#               before demoting;
+#   'raise'     everything else (ValueError from schedule validation, shape
+#               bugs, ...) — programming errors must surface, not hide behind
+#               a misleading "VMEM failure" warning.
+_DEMOTE_SUBSTRINGS = (
+    "mosaic", "vmem", "resource_exhausted", "resource exhausted", "scoped",
+    "scratch", "lowering", "not found for platform", "out of memory",
+    "only interpret mode",
+)
+_TRANSIENT_SUBSTRINGS = (
+    "failed_precondition", "failed precondition", "unavailable",
+    "deadline", "backend error", "aborted",
+)
+
+
+def _kernel_error_kind(e: Exception) -> str:
+    # message substrings first: some compile/lowering failures surface as
+    # ValueError (e.g. "Only interpret mode is supported on CPU backend"),
+    # so the type alone cannot decide
+    msg = f"{type(e).__name__} {e}".lower()
+    if any(s in msg for s in _TRANSIENT_SUBSTRINGS):
+        return "transient"
+    if any(s in msg for s in _DEMOTE_SUBSTRINGS) or isinstance(
+        e, NotImplementedError
+    ):
+        return "demote"
+    if "xlaruntimeerror" in type(e).__name__.lower():
+        return "demote"
+    return "raise"
+
+
+def _attempt_fused(call, desc: str):
+    """Run a fused-kernel call with triage; returns ('ok', value) or
+    ('demote', None).  Transient TPU errors get one same-config retry;
+    programming errors propagate."""
+    for attempt in (0, 1):
+        try:
+            return "ok", call()
+        except Exception as e:  # noqa: BLE001 — triaged below
+            kind = _kernel_error_kind(e)
+            if kind == "raise":
+                raise
+            if kind == "transient" and attempt == 0:
+                warnings.warn(
+                    f"{desc} hit a transient TPU error ({str(e)[:200]}); "
+                    "retrying once"
+                )
+                continue
+            warnings.warn(f"{desc} failed ({str(e)[:200]}); demoting")
+            return "demote", None
 
 
 @dataclasses.dataclass
@@ -197,18 +257,19 @@ def run_nms_mc(
       supported on the single-device path.
     * ``resume_path``: optional json file persisting (step_idx, counters) so
       multi-hour sweeps survive pre-emption (SURVEY.md §5 failure-recovery
-      row); the PRNG stream is positional, so resuming reproduces exactly
-      the frames that would have followed."""
+      row); both the jax.random path and the fused in-kernel PRNG derive
+      their stream from the step index, so resuming reproduces exactly the
+      frames that would have followed (no re-consumed seeds)."""
     spec = spec or ChannelSpec.awgn(snr_db, code.rate)
     capacity = min(batch, capture_limit) if capture_failures else 0
-    use_fused = (
+    fused_ok = (
         not capture_failures
-        and mesh is None
         and jax.default_backend() == "tpu"
         and variant not in ("NMS-r", "ENMS")
         and spec == ChannelSpec.awgn(snr_db, code.rate)
         and batch % 32 == 0
     )
+    use_fused = fused_ok and mesh is None
     if use_fused:
         # fully fused in-kernel Monte-Carlo (own PRNG stream; statistically
         # equivalent to the jax.random path); the edge-compact kernel is ~4x
@@ -250,42 +311,42 @@ def run_nms_mc(
                 "compact": num_iterations > t1 + 1 and cblock >= 128,
                 "eblock": eblock,
                 "xla": None,
-                "idx": 0,
             }
 
-            def step(p, key):
-                s = seed * 100003 + state["idx"]
-                state["idx"] += 1
+            def step(p, key, idx):
+                # fused-kernel seeds are positional in the STEP INDEX (not a
+                # process-local counter), so a resumed sweep continues the
+                # PRNG streams instead of re-consuming seeds 0..N; masked
+                # into int32 range (the kernel seed word is int32)
+                s = (seed * 100003 + idx) & 0x7FFFFFFF
                 if state["xla"] is not None:
                     return state["xla"](p, key)
                 if state["compact"]:
-                    try:
-                        c = np.asarray(fused_counters_edge_compact(
+                    status, c = _attempt_fused(
+                        lambda: np.asarray(fused_counters_edge_compact(
                             code, p, variant, num_iterations, snr_db, batch,
                             seed=s, t1=t1, block_frames=cblock,
                             schedule=DEFAULT_COMPACT_SCHEDULE,
-                        ))
-                        if c[5] == 0.0:
-                            return c[:5], None
-                    except Exception as e:  # VMEM/lowering failure
-                        warnings.warn(
-                            f"compact MC kernel failed ({str(e)[:200]}); "
-                            "falling back to the one-shot kernel")
-                    state["compact"] = False  # fall through: redo one-shot
+                        )),
+                        "compact MC kernel",
+                    )
+                    if status == "ok" and c[5] == 0.0:
+                        return c[:5], None
+                    # overflow or failure: redo one-shot, stay one-shot
+                    state["compact"] = False
                 while state["eblock"] >= 8:
-                    try:
-                        c = np.asarray(fused_counters_edge(
+                    status, c = _attempt_fused(
+                        lambda: np.asarray(fused_counters_edge(
                             code, p, variant, num_iterations, snr_db, batch,
                             seed=s, block_frames=state["eblock"],
-                        ))
+                        )),
+                        f"one-shot edge MC kernel (block {state['eblock']})",
+                    )
+                    if status == "ok":
                         return c, None
-                    except Exception as e:
-                        warnings.warn(
-                            f"one-shot edge MC kernel failed at block "
-                            f"{state['eblock']} ({str(e)[:200]}); halving")
+                    state["eblock"] //= 2
+                    while state["eblock"] >= 8 and batch % state["eblock"]:
                         state["eblock"] //= 2
-                        while state["eblock"] >= 8 and batch % state["eblock"]:
-                            state["eblock"] //= 2
                 warnings.warn(
                     "edge MC kernels do not fit on this code; using the "
                     "plain XLA MC step")
@@ -296,26 +357,25 @@ def run_nms_mc(
                 return state["xla"](p, key)
 
         elif block >= 8 and batch % block == 0:
-            dstate = {"xla": None, "idx": 0}
+            dstate = {"xla": None}
 
-            def step(p, key):
-                s = seed * 100003 + dstate["idx"]
-                dstate["idx"] += 1
+            def step(p, key, idx):
+                s = (seed * 100003 + idx) & 0x7FFFFFFF
                 if dstate["xla"] is None:
-                    try:
-                        c = np.asarray(fused_counters(
+                    status, c = _attempt_fused(
+                        lambda: np.asarray(fused_counters(
                             code, p, variant, num_iterations, snr_db, batch,
                             seed=s, block_frames=block,
-                        ))
+                        )),
+                        "dense MC kernel",
+                    )
+                    if status == "ok":
                         return c, None
-                    except Exception as e:  # VMEM/lowering failure
-                        warnings.warn(
-                            f"dense MC kernel failed ({str(e)[:200]}); "
-                            "using the plain XLA MC step")
-                        dstate["xla"] = build_nms_mc_step(
-                            code, variant, num_iterations, spec, batch,
-                            capture_capacity=capacity, use_pallas=False,
-                        )
+                    warnings.warn("using the plain XLA MC step")
+                    dstate["xla"] = build_nms_mc_step(
+                        code, variant, num_iterations, spec, batch,
+                        capture_capacity=capacity, use_pallas=False,
+                    )
                 return dstate["xla"](p, key)
 
         else:
@@ -323,16 +383,28 @@ def run_nms_mc(
     if mesh is not None:
         if capture_failures:
             raise ValueError("failure capture requires the single-device path")
-        from ..parallel import sharded_nms_mc_step
+        if fused_ok:
+            # the fused edge kernels on every device of the mesh (per-chip
+            # throughput matches the single-chip kernels; counters psum over
+            # ICI); demotes to the sharded XLA step only if they can't lower
+            from ..parallel import sharded_fused_mc_step
 
-        step_sharded = sharded_nms_mc_step(
-            code, variant, num_iterations, spec, batch, mesh
-        )
-        step = lambda p, k: (step_sharded(p, k), None)
+            step = sharded_fused_mc_step(
+                code, variant, num_iterations, snr_db, batch, mesh,
+                base_seed=seed, spec=spec,
+            )
+        else:
+            from ..parallel import sharded_nms_mc_step
+
+            step_sharded = sharded_nms_mc_step(
+                code, variant, num_iterations, spec, batch, mesh
+            )
+            step = lambda p, k, i: (step_sharded(p, k), None)
     elif not use_fused:
-        step = build_nms_mc_step(
+        built = build_nms_mc_step(
             code, variant, num_iterations, spec, batch, capture_capacity=capacity
         )
+        step = lambda p, k, i: built(p, k)
     key = jax.random.PRNGKey(seed)
     stats = DecodeStats(bits_per_frame=code.n)
     traj_list: list[np.ndarray] = []
@@ -351,7 +423,7 @@ def run_nms_mc(
                 step_idx = saved["step_idx"]
                 stats = DecodeStats(**saved["stats"])
     while stats.frames < max_frames and stats.frame_errors <= error_budget:
-        counters, capture = step(params, jax.random.fold_in(key, step_idx))
+        counters, capture = step(params, jax.random.fold_in(key, step_idx), step_idx)
         step_idx += 1
         c = np.asarray(counters)
         stats = stats.merge(

@@ -62,17 +62,18 @@ def _mc_kernel(
     num_iterations: int,
     sigma: float,
     mean: float,
-    scalars_ref,  # SMEM: [seed, w_vc, w_chk, w_marg]
+    seed_ref,  # SMEM int32 (1,): exact seed (an f32 lane would round > 2^24,
+    # which the sharded per-device seed striding reaches quickly)
+    weights_ref,  # SMEM f32: [w_vc, w_chk, w_marg]
     h_ref,  # (m, n)
     g_ref,  # (k, n)
     out_ref,  # (1, 8, 128) counter tile; row 0 lanes 0..4 hold
     # [frames, frame_err, bit_err, detected, undetected]
     cv_ref,  # scratch (bt, m, n)
 ):
-    seed = scalars_ref[0]
-    w_vc = scalars_ref[1]
-    w_chk = scalars_ref[2]
-    w_marg = scalars_ref[3]
+    w_vc = weights_ref[0]
+    w_chk = weights_ref[1]
+    w_marg = weights_ref[2]
     h = h_ref[:]
     g = g_ref[:]
     m, n = h.shape
@@ -82,7 +83,7 @@ def _mc_kernel(
     # runs at consecutive seeds share almost all of their per-block streams
     # (block j of seed s == block j-1 of seed s+1), correlating "independent"
     # Monte-Carlo runs
-    pltpu.prng_seed(seed.astype(jnp.int32), pl.program_id(0))
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
     # --- sample ---
     msg_bits = pltpu.bitcast(pltpu.prng_random_bits((bt, k)), jnp.int32)
@@ -154,7 +155,8 @@ def _mc_kernel(
     ),
 )
 def mc_fused(
-    params_vec: jnp.ndarray,  # [seed, w_vc, w_chk, w_marg] float32
+    weights_vec: jnp.ndarray,  # [w_vc, w_chk, w_marg] float32
+    seed,  # int32 scalar/array (may be traced, e.g. a shard_map shard)
     h: jnp.ndarray,
     g: jnp.ndarray,
     num_iterations: int,
@@ -169,10 +171,12 @@ def mc_fused(
     m, n = h.shape
     grid = (batch // block_frames,)
     kernel = functools.partial(_mc_kernel, num_iterations, sigma, mean)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape((1,))
     per_block = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((m, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(g.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -183,7 +187,7 @@ def mc_fused(
         out_shape=jax.ShapeDtypeStruct((grid[0], 8, 128), jnp.float32),
         scratch_shapes=[pltpu.VMEM((block_frames, m, n), jnp.float32)],
         interpret=interpret,
-    )(params_vec, h.astype(jnp.float32), g.astype(jnp.float32))
+    )(seed_arr, weights_vec, h.astype(jnp.float32), g.astype(jnp.float32))
     return jnp.sum(per_block[:, 0, :5], axis=0)
 
 
@@ -194,11 +198,10 @@ def fused_counters(code, params, variant, num_iterations, snr_db, batch, seed,
     from .nms import _weights
 
     w_vc, w_chk, w_marg = _weights(params, variant)
-    vec = jnp.stack(
-        [jnp.float32(seed), w_vc, w_chk, w_marg]
-    ).astype(jnp.float32)
+    vec = jnp.stack([w_vc, w_chk, w_marg]).astype(jnp.float32)
     return mc_fused(
         vec,
+        seed,
         jnp.asarray(code.h, jnp.float32),
         jnp.asarray(code.g, jnp.float32),
         num_iterations,

@@ -56,6 +56,13 @@ _TWO_PI = 6.283185307179586
 def _edge_layout_cached(h_bytes: bytes, m: int, n: int):
     h = np.frombuffer(h_bytes, dtype=np.uint8).reshape(m, n)
     dc = int(h.sum(axis=1).max())
+    if dc < 2:
+        # a degree-1 check row has no extrinsic message (and the min/submin
+        # tournament in _decode_edge would have no second operand)
+        raise ValueError(
+            f"edge kernels need max check degree >= 2, got dc={dc}; "
+            "use the XLA decoder for degenerate codes"
+        )
     scatter = np.zeros((dc, m, n), np.float32)
     gather = np.zeros((dc, n, m), np.float32)
     bias = np.zeros((dc, 1, m), np.float32)
@@ -379,14 +386,15 @@ def _decode_final_edge_jit(params, scatter, gather, bias, h, llr,
 
 
 def _mc_kernel(dc, num_iterations, sigma, mean, mode, slab_has_dummy,
-               scalars_ref,  # SMEM: [seed, w_vc, w_chk, w_marg]
+               seed_ref,  # SMEM int32 (1,) — exact (f32 rounds > 2^24, which
+               # the sharded per-device seed striding reaches quickly)
+               weights_ref,  # SMEM f32: [w_vc, w_chk, w_marg]
                scat_ref, gath_ref, bias_ref, h_ref, g_ref,
                out_ref,  # (1, 8, 128) counter tile (same layout as mc_pallas)
                cv_ref):
-    seed = scalars_ref[0]
-    w_vc = scalars_ref[1]
-    w_chk = scalars_ref[2]
-    w_marg = scalars_ref[3]
+    w_vc = weights_ref[0]
+    w_chk = weights_ref[1]
+    w_marg = weights_ref[2]
     h = h_ref[:]
     g = g_ref[:]
     k = g.shape[0]
@@ -394,7 +402,7 @@ def _mc_kernel(dc, num_iterations, sigma, mean, mode, slab_has_dummy,
     n = h.shape[1]
     # separate seed words (see mc_pallas): `seed + program_id` correlates
     # consecutive-seed runs (block j of seed s == block j-1 of seed s+1)
-    pltpu.prng_seed(seed.astype(jnp.int32), pl.program_id(0))
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
     # --- sample (identical to mc_pallas._mc_kernel) ---
     msg_bits = pltpu.bitcast(pltpu.prng_random_bits((bt, k)), jnp.int32)
@@ -433,7 +441,8 @@ def _mc_kernel(dc, num_iterations, sigma, mean, mode, slab_has_dummy,
 
 
 def mc_fused_edge(
-    params_vec: jnp.ndarray,  # [seed, w_vc, w_chk, w_marg] float32
+    weights_vec: jnp.ndarray,  # [w_vc, w_chk, w_marg] float32
+    seed,  # int32 scalar/array (may be traced, e.g. a shard_map shard)
     h,
     g,
     num_iterations: int,
@@ -449,7 +458,8 @@ def mc_fused_edge(
     Drop-in for ``mc_pallas.mc_fused`` (``h`` must be concrete)."""
     scatter, gather, bias, slab_has_dummy = edge_layout_stacked(h)
     return _mc_fused_edge_jit(
-        params_vec, scatter, gather, bias,
+        weights_vec, jnp.asarray(seed, jnp.int32).reshape((1,)),
+        scatter, gather, bias,
         np.asarray(h, np.float32), np.asarray(g, np.float32),
         num_iterations, batch, sigma, mean, block_frames, interpret, mode,
         slab_has_dummy,
@@ -463,7 +473,7 @@ def mc_fused_edge(
         "mode", "slab_has_dummy",
     ),
 )
-def _mc_fused_edge_jit(params_vec, scatter, gather, bias, h, g,
+def _mc_fused_edge_jit(weights_vec, seed_arr, scatter, gather, bias, h, g,
                        num_iterations, batch, sigma, mean, block_frames,
                        interpret, mode="split", slab_has_dummy=None):
     edges, n = scatter.shape
@@ -479,6 +489,7 @@ def _mc_fused_edge_jit(params_vec, scatter, gather, bias, h, g,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((edges, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, edges), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, edges), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -491,8 +502,8 @@ def _mc_fused_edge_jit(params_vec, scatter, gather, bias, h, g,
         out_shape=jax.ShapeDtypeStruct((grid[0], 8, 128), jnp.float32),
         scratch_shapes=[pltpu.VMEM((block_frames, edges), jnp.float32)],
         interpret=interpret,
-    )(params_vec, jnp.asarray(scatter), jnp.asarray(gather), jnp.asarray(bias),
-      jnp.asarray(h), jnp.asarray(g))
+    )(seed_arr, weights_vec, jnp.asarray(scatter), jnp.asarray(gather),
+      jnp.asarray(bias), jnp.asarray(h), jnp.asarray(g))
     return jnp.sum(per_block[:, 0, :5], axis=0)
 
 
@@ -503,9 +514,9 @@ def fused_counters_edge(code, params, variant, num_iterations, snr_db, batch,
     from .nms import _weights
 
     w_vc, w_chk, w_marg = _weights(params, variant)
-    vec = jnp.stack([jnp.float32(seed), w_vc, w_chk, w_marg]).astype(jnp.float32)
+    vec = jnp.stack([w_vc, w_chk, w_marg]).astype(jnp.float32)
     return mc_fused_edge(
-        vec, code.h, code.g, num_iterations, batch,
+        vec, seed, code.h, code.g, num_iterations, batch,
         float(sigma_for_snr(snr_db, code.rate)), 1.0, block_frames,
         mode=mode,
     )
@@ -561,8 +572,8 @@ def _scatter_dot(ct, y, mode):
 
 def _mc_schedule_kernel(dc, schedule, final_iters, sigma, mean, mode,
                         slab_has_dummy,
-                        scalars_ref, scat_ref, gath_ref, bias_ref, h_ref,
-                        g_ref, out_ref, *cv_refs):
+                        seed_ref, weights_ref, scat_ref, gath_ref, bias_ref,
+                        h_ref, g_ref, out_ref, *cv_refs):
     """Fused MC kernel with MULTI-STAGE in-kernel convergence compaction.
 
     ``schedule`` is a tuple of ``(iters_i, rows_i)`` stages: run ``iters_i``
@@ -581,15 +592,15 @@ def _mc_schedule_kernel(dc, schedule, final_iters, sigma, mean, mode,
     (summed over stages; judged at the stage check).  ``cv_refs`` holds one
     message scratch per nesting level: (block, edges), (rows_1, edges), ...
     """
-    w_vc = scalars_ref[1]
-    w_chk = scalars_ref[2]
-    w_marg = scalars_ref[3]
+    w_vc = weights_ref[0]
+    w_chk = weights_ref[1]
+    w_marg = weights_ref[2]
     h = h_ref[:]
     g = g_ref[:]
     k = g.shape[0]
     bt = cv_refs[0].shape[0]
     n = h.shape[1]
-    pltpu.prng_seed(scalars_ref[0].astype(jnp.int32), pl.program_id(0))
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
     # --- sample (as _mc_kernel) ---
     msg_bits = pltpu.bitcast(pltpu.prng_random_bits((bt, k)), jnp.int32)
@@ -679,9 +690,9 @@ def _mc_schedule_kernel(dc, schedule, final_iters, sigma, mean, mode,
         "interpret", "mode", "slab_has_dummy",
     ),
 )
-def _mc_schedule_jit(params_vec, scatter, gather, bias, h, g, schedule,
-                     final_iters, batch, sigma, mean, block_frames, interpret,
-                     mode="bf16", slab_has_dummy=None):
+def _mc_schedule_jit(weights_vec, seed_arr, scatter, gather, bias, h, g,
+                     schedule, final_iters, batch, sigma, mean, block_frames,
+                     interpret, mode="bf16", slab_has_dummy=None):
     edges, n = scatter.shape
     m = h.shape[0]
     dc = edges // m
@@ -701,6 +712,7 @@ def _mc_schedule_jit(params_vec, scatter, gather, bias, h, g, schedule,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((edges, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, edges), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, edges), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -715,8 +727,8 @@ def _mc_schedule_jit(params_vec, scatter, gather, bias, h, g, schedule,
             pltpu.VMEM((rows_i, edges), jnp.float32) for _, rows_i in schedule
         ],
         interpret=interpret,
-    )(params_vec, jnp.asarray(scatter), jnp.asarray(gather), jnp.asarray(bias),
-      jnp.asarray(h), jnp.asarray(g))
+    )(seed_arr, weights_vec, jnp.asarray(scatter), jnp.asarray(gather),
+      jnp.asarray(bias), jnp.asarray(h), jnp.asarray(g))
     return jnp.sum(per_block[:, 0, :6], axis=0)
 
 
@@ -734,14 +746,24 @@ DEFAULT_COMPACT_SCHEDULE = ((4, 0.40625),)
 def build_rows_schedule(schedule, block_frames: int, num_iterations: int):
     """((iters, frac), ...) -> ((iters, rows), ...) truncated to the stages
     that leave at least one iteration after them.  Row capacities are
-    ``max(64, int(block_frames * frac))`` (64 = one sublane tile of frames;
-    below that the gather/scatter overhead always exceeds the savings)."""
+    ``int(block_frames * frac)`` rounded DOWN to a multiple of 8 (the
+    ``_mc_schedule_jit`` validity requirement), floored at 64 (one sublane
+    tile of frames; below that the gather/scatter overhead always exceeds
+    the savings) and capped at the previous stage's rows minus 8 — any
+    (frac, block) pair therefore yields a valid schedule or drops the
+    stage, instead of raising inside the harness's fallback chain."""
     rows_schedule = []
     spent = 0
+    rows_prev = block_frames
     for iters_i, frac in schedule:
         if spent + iters_i >= num_iterations:
             break  # not enough iterations left to be worth a stage
-        rows_schedule.append((iters_i, max(64, int(block_frames * frac))))
+        rows = max(64, int(block_frames * frac)) // 8 * 8
+        rows = min(rows, rows_prev - 8)
+        if rows < 64:
+            break  # capacity floor can't fit under the previous stage
+        rows_schedule.append((iters_i, rows))
+        rows_prev = rows
         spent += iters_i
     return tuple(rows_schedule), num_iterations - spent
 
@@ -763,14 +785,15 @@ def fused_counters_edge_compact(code, params, variant, num_iterations, snr_db,
     from .nms import _weights
 
     w_vc, w_chk, w_marg = _weights(params, variant)
-    vec = jnp.stack([jnp.float32(seed), w_vc, w_chk, w_marg]).astype(jnp.float32)
+    vec = jnp.stack([w_vc, w_chk, w_marg]).astype(jnp.float32)
     scatter, gather, bias, slab_has_dummy = edge_layout_stacked(code.h)
     if schedule is None:
         schedule = ((t1, compact_frac),)
     rows_schedule, final_iters = build_rows_schedule(
         schedule, block_frames, num_iterations)
     return _mc_schedule_jit(
-        vec, scatter, gather, bias,
+        vec, jnp.asarray(seed, jnp.int32).reshape((1,)),
+        scatter, gather, bias,
         np.asarray(code.h, np.float32), np.asarray(code.g, np.float32),
         rows_schedule, final_iters, batch,
         float(sigma_for_snr(snr_db, code.rate)), 1.0, block_frames,

@@ -1,7 +1,18 @@
-from .mesh import make_mesh
+from .mesh import init_multihost, make_mesh
 from .data_parallel import (
+    device_seeds,
+    sharded_fused_mc_step,
     sharded_nms_mc_step,
     sharded_nms_train_step,
+    sharded_seed_counters,
 )
 
-__all__ = ["make_mesh", "sharded_nms_mc_step", "sharded_nms_train_step"]
+__all__ = [
+    "device_seeds",
+    "init_multihost",
+    "make_mesh",
+    "sharded_fused_mc_step",
+    "sharded_nms_mc_step",
+    "sharded_nms_train_step",
+    "sharded_seed_counters",
+]

@@ -26,8 +26,21 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "mc") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def init_multihost(coordinator: str | None = None):
-    """Initialize jax.distributed for multi-host pods (no-op if single)."""
-    if jax.process_count() > 1 or coordinator is None:
+def init_multihost(
+    coordinator: str | None = None,
+    num_processes: int = 1,
+    process_id: int = 0,
+):
+    """Initialize ``jax.distributed`` for multi-host pods.
+
+    No-op for a single process (``num_processes <= 1`` or no coordinator) —
+    and deliberately does NOT touch ``jax.process_count()``/devices first,
+    which would initialize the local backend and make a subsequent
+    ``jax.distributed.initialize`` fail.  Call before any other JAX API."""
+    if coordinator is None or num_processes <= 1:
         return
-    jax.distributed.initialize(coordinator_address=coordinator)
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

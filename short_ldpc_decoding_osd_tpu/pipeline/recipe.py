@@ -225,7 +225,7 @@ def stage_eval_sweep(cfg: RecipeConfig, run: RunDir, nms_params, model, dia_para
     osd_step = engine.make_dl_osd_step(
         model, h, code.k, window=cfg.window, soft_margin=cfg.soft_margin
     )
-    from ..mc.harness import iteration_ce_list
+    from ..mc.harness import iteration_ber_list, iteration_ce_list
     from ..utils.profiling import JsonlLogger
 
     jsonl = JsonlLogger(run.path("metrics.jsonl"))
@@ -252,6 +252,7 @@ def stage_eval_sweep(cfg: RecipeConfig, run: RunDir, nms_params, model, dia_para
         n_osd = min(len(fb.trajectories), cfg.osd_failure_budget)
         osd_stats = {"success": 0, "fail": 0, "complexity": 0, "windows": 0}
         ce_list = []
+        ber_list = []
         if n_osd:
             traj = jnp.asarray(fb.trajectories[:n_osd], jnp.float32)
             labs = jnp.asarray(fb.labels[:n_osd], jnp.int32)
@@ -267,10 +268,11 @@ def stage_eval_sweep(cfg: RecipeConfig, run: RunDir, nms_params, model, dia_para
                 "complexity": float(np.asarray(out["complexity"]).mean()),
                 "windows": float(np.asarray(out["window_num"]).mean()),
             }
-            # per-iteration CE over the failure set + the DIA-refined slot
-            # (reference 'CE list' bookkeeping, ms_test.py:251-267 /
-            # nn_testing.py:205-210)
+            # per-iteration CE + BER over the failure set + the DIA-refined
+            # slot (reference 'CE list'/'BER list' bookkeeping,
+            # ms_test.py:251-267 / nn_testing.py:205-210)
             ce_list = iteration_ce_list(fb.trajectories[:n_osd], fb.labels[:n_osd])
+            ber_list = iteration_ber_list(fb.trajectories[:n_osd], fb.labels[:n_osd])
             refined_np = np.asarray(refined)
             logits = -refined_np.astype(np.float64)
             z = fb.labels[:n_osd].astype(np.float64)
@@ -279,6 +281,9 @@ def stage_eval_sweep(cfg: RecipeConfig, run: RunDir, nms_params, model, dia_para
                     (np.maximum(logits, 0) - logits * z
                      + np.log1p(np.exp(-np.abs(logits)))).sum()
                 )
+            )
+            ber_list.append(
+                float(((refined_np <= 0) != (fb.labels[:n_osd] > 0)).mean())
             )
         osd_time = time.time() - t1
         fer_nms = stats.detected_failures / max(stats.frames, 1)
@@ -300,6 +305,7 @@ def stage_eval_sweep(cfg: RecipeConfig, run: RunDir, nms_params, model, dia_para
             "osd_time_s": osd_time,
             "nms_frames_per_s": stats.frames / max(nms_time, 1e-9),
             "ce_list": ce_list,
+            "ber_list": ber_list,
         }
         curve.append(point)
         jsonl.log(point)

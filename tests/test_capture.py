@@ -77,3 +77,104 @@ def test_fused_fallback_chain(monkeypatch, recwarn, code):
     assert 0 < stats.fer < 1
     assert calls["compact"] == 1  # tried once, permanently demoted
     assert calls["oneshot"] >= 1  # walked the halving ladder
+
+
+def _fake_fused(seed_log):
+    """Deterministic stand-in for the fused MC kernels: counters derived
+    from the seed so step results are position-dependent like the real
+    in-kernel PRNG streams."""
+
+    def fake(code, p, variant, num_iterations, snr_db, batch, seed, **kw):
+        seed_log.append(seed)
+        errs = (seed * 2654435761) % 5
+        return np.array(
+            [batch, errs, errs * 3, errs, 0, 0.0], dtype=np.float64
+        )
+
+    return fake
+
+
+def test_fused_resume_continues_seed_stream(monkeypatch, tmp_path, code):
+    """Resume must continue the fused kernel's positional seed stream from
+    the restored step_idx — not replay seeds 0..N (which double-counts
+    frames already in the restored stats)."""
+    import short_ldpc_decoding_osd_tpu.mc.harness as harness
+    import short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas as ep
+
+    monkeypatch.setattr(harness.jax, "default_backend", lambda: "tpu")
+    params = nms.init_params("NMS-1")
+    batch = 256
+
+    # uninterrupted 4-step run
+    log_a = []
+    monkeypatch.setattr(ep, "fused_counters_edge_compact", _fake_fused(log_a))
+    stats_a, _ = run_nms_mc(
+        code, params, "NMS-1", 12, 3.0, batch=batch, max_frames=4 * batch,
+        error_budget=10**9, seed=7,
+    )
+
+    # interrupted after 2 steps, then resumed to 4
+    log_b = []
+    monkeypatch.setattr(ep, "fused_counters_edge_compact", _fake_fused(log_b))
+    resume = str(tmp_path / "resume.json")
+    stats_b1, _ = run_nms_mc(
+        code, params, "NMS-1", 12, 3.0, batch=batch, max_frames=2 * batch,
+        error_budget=10**9, seed=7, resume_path=resume,
+    )
+    stats_b2, _ = run_nms_mc(
+        code, params, "NMS-1", 12, 3.0, batch=batch, max_frames=4 * batch,
+        error_budget=10**9, seed=7, resume_path=resume,
+    )
+    assert log_b == log_a  # seed stream continued, nothing re-consumed
+    assert stats_b2.frames == stats_a.frames
+    assert stats_b2.frame_errors == stats_a.frame_errors
+    assert stats_b2.bit_errors == stats_a.bit_errors
+
+
+def test_fused_transient_error_retries_once(monkeypatch, recwarn, code):
+    """A transient TPU runtime error retries the SAME kernel config once
+    instead of permanently demoting a multi-hour sweep to the XLA step."""
+    import warnings as _w
+
+    import short_ldpc_decoding_osd_tpu.mc.harness as harness
+    import short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas as ep
+
+    monkeypatch.setattr(harness.jax, "default_backend", lambda: "tpu")
+    calls = {"n": 0}
+
+    def flaky(code_, p, variant, num_iterations, snr_db, batch, seed, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("FAILED_PRECONDITION: TPU backend error")
+        return np.array([batch, 1, 3, 1, 0, 0.0], dtype=np.float64)
+
+    monkeypatch.setattr(ep, "fused_counters_edge_compact", flaky)
+    params = nms.init_params("NMS-1")
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        stats, _ = run_nms_mc(
+            code, params, "NMS-1", 12, 3.0, batch=256, max_frames=512,
+            error_budget=10**9, seed=3,
+        )
+    assert stats.frames == 512
+    assert calls["n"] == 3  # step 0: fail + retry-ok; step 1: ok
+
+
+def test_fused_programming_error_propagates(monkeypatch, code):
+    """ValueError from kernel/schedule validation must surface, not hide
+    behind a misleading VMEM-failure demotion."""
+    import short_ldpc_decoding_osd_tpu.mc.harness as harness
+    import short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas as ep
+
+    monkeypatch.setattr(harness.jax, "default_backend", lambda: "tpu")
+
+    def bad(*a, **k):
+        raise ValueError("schedule rows must decrease in multiples of 8")
+
+    monkeypatch.setattr(ep, "fused_counters_edge_compact", bad)
+    params = nms.init_params("NMS-1")
+    with pytest.raises(ValueError, match="multiples of 8"):
+        run_nms_mc(
+            code, params, "NMS-1", 12, 3.0, batch=256, max_frames=256,
+            error_budget=10**9, seed=5,
+        )

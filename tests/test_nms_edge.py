@@ -250,3 +250,43 @@ def test_edge_decode_lane_packed_small_m(m, n, dc):
                           block_frames=16, interpret=True, mode="highest")
     )
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
+
+
+def test_build_rows_schedule_always_valid():
+    """Any (frac, block) pair must yield a schedule _mc_schedule_jit accepts
+    (rows strictly decreasing in multiples of 8) or drop the stage — a
+    user-supplied BENCH_FRAC like 0.3 at block 512 used to produce rows=153
+    and crash inside the harness's fallback chain."""
+    from short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas import (
+        build_rows_schedule,
+    )
+
+    for block in (64, 128, 256, 512):
+        for frac in (0.05, 0.3, 0.40625, 0.5, 0.77, 1.0, 2.0):
+            for iters in (2, 5, 12):
+                sched, final = build_rows_schedule(((4, frac),), block, iters)
+                assert final >= 1
+                rows_prev = block
+                for it, rows in sched:
+                    assert rows % 8 == 0
+                    assert 64 <= rows < rows_prev
+                    rows_prev = rows
+    # multi-stage: capacities must keep decreasing even when fracs don't
+    sched, final = build_rows_schedule(
+        ((2, 0.9), (2, 0.95), (2, 0.5)), 512, 12
+    )
+    rows_prev = 512
+    for _, rows in sched:
+        assert rows % 8 == 0 and rows < rows_prev
+        rows_prev = rows
+    assert final == 12 - sum(it for it, _ in sched)
+
+
+def test_edge_layout_rejects_degree_one_checks():
+    import numpy as np
+    import pytest
+
+    from short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas import edge_layout
+
+    with pytest.raises(ValueError, match="check degree >= 2"):
+        edge_layout(np.eye(4, 16, dtype=np.uint8))  # every row degree 1

@@ -64,3 +64,100 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_device_seeds_bijective_and_single_device_compatible():
+    from short_ldpc_decoding_osd_tpu.parallel import device_seeds
+
+    # 1 device: exactly the single-device harness seed stream
+    for idx in (0, 1, 17):
+        s = device_seeds(5, idx, 1)
+        assert s.shape == (1,)
+        assert int(s[0]) == (5 * 100003 + idx) & 0x7FFFFFFF
+    # no (step, device) collisions across a window of steps
+    seen = set()
+    for idx in range(16):
+        for s in device_seeds(0, idx, 8):
+            assert int(s) not in seen
+            seen.add(int(s))
+
+
+def test_sharded_seed_counters_psum(code):
+    """The shard_map bridge gives every device its own seed and psums the
+    per-device counters."""
+    import jax.numpy as jnp
+
+    from short_ldpc_decoding_osd_tpu.parallel import (
+        device_seeds,
+        sharded_seed_counters,
+    )
+
+    mesh = make_mesh(8)
+
+    def fake_counters(params, seed):
+        e = (seed % 7).astype(jnp.float32)
+        return jnp.stack([jnp.float32(64.0), e, 2.0 * e, e, 0.0, 0.0])
+
+    prog = sharded_seed_counters(mesh, fake_counters)
+    seeds = device_seeds(3, 0, 8)
+    with mesh:
+        out = np.asarray(prog({"check": np.zeros(1)}, jnp.asarray(seeds)))
+    expect_e = float(sum(int(s) % 7 for s in seeds))
+    np.testing.assert_allclose(
+        out, [64.0 * 8, expect_e, 2 * expect_e, expect_e, 0.0, 0.0]
+    )
+
+
+def test_sharded_fused_step_ladder_lands_on_xla_off_tpu(code):
+    """On a CPU mesh the fused rungs cannot lower (no pltpu PRNG); the ladder
+    must demote and finish the step with the sharded XLA decoder instead of
+    crashing — the same chain the dryrun exercises."""
+    import warnings as _w
+
+    from short_ldpc_decoding_osd_tpu.parallel import sharded_fused_mc_step
+
+    mesh = make_mesh(8)
+    params = nms.init_params("NMS-1")
+    with mesh, _w.catch_warnings():
+        _w.simplefilter("ignore")
+        step = sharded_fused_mc_step(
+            code, "NMS-1", 6, 3.0, per_device_batch=32, mesh=mesh, base_seed=0
+        )
+        c, cap = step(params, jax.random.PRNGKey(0), 0)
+    assert cap is None
+    assert int(c[0]) == 32 * 8
+    assert 0 <= int(c[1]) <= 32 * 8
+
+
+def test_harness_mesh_uses_fused_kernels(monkeypatch, code):
+    """With a mesh AND a TPU backend the harness must run the fused kernels
+    per device (psum'd), not silently fall back to the slow XLA decoder
+    (round-2 VERDICT item 2)."""
+    import jax.numpy as jnp
+
+    import short_ldpc_decoding_osd_tpu.mc.harness as harness
+    import short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas as ep
+    from short_ldpc_decoding_osd_tpu.mc import run_nms_mc
+    from short_ldpc_decoding_osd_tpu.parallel import device_seeds
+
+    monkeypatch.setattr(harness.jax, "default_backend", lambda: "tpu")
+
+    def fake_compact(code_, p, variant, iters, snr_db, batch, seed, **kw):
+        e = (seed % 7).astype(jnp.float32)
+        return jnp.stack([jnp.float32(batch), e, 2.0 * e, e, 0.0, 0.0])
+
+    monkeypatch.setattr(ep, "fused_counters_edge_compact", fake_compact)
+    mesh = make_mesh(8)
+    params = nms.init_params("NMS-1")
+    batch = 128  # per-device; must keep cblock >= 128 so the compact rung runs
+    with mesh:
+        stats, _ = run_nms_mc(
+            code, params, "NMS-1", 12, 3.0, batch=batch,
+            max_frames=2 * 8 * batch, error_budget=10**9, seed=3, mesh=mesh,
+        )
+    assert stats.frames == 2 * 8 * batch
+    expect = sum(
+        int(s) % 7 for idx in (0, 1) for s in device_seeds(3, idx, 8)
+    )
+    assert stats.frame_errors == expect
+    assert stats.detected_failures == expect
