@@ -4,12 +4,14 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "codewords/s", "vs_baseline": N}
 
-The baseline divisor is a single-process vectorized-numpy implementation of
-the same dense NMS decode measured on this host's CPU — a *generous* stand-in
-for the reference's eager TF2/Keras CPU pipeline (BASELINE.md: the reference
-publishes no numbers and TF is not installed here; vectorized numpy is
-strictly faster than the reference's per-batch eager graph, so vs_baseline is
-a lower bound on the true speedup).
+The ``vs_baseline`` divisor is the ACTUAL reference decoder's throughput —
+the eager-TF2 ``Ldpc_128_testing/ms_test.py`` Decoder_Layer timed on this
+host's CPU by ``scripts/reference_parity.py`` (recorded in
+``runs/refparity/refparity.json``; ~700 cw/s at batch 1024).  A live
+vectorized-numpy stand-in of the same dense decode is also measured each run
+as a sanity reference (``vs_numpy_standin``); the two agree to ~1.3x.  If the
+recorded TF measurement is missing, vs_baseline falls back to the live numpy
+stand-in.
 """
 
 import json
@@ -145,13 +147,28 @@ def main():
     code = get_code("ccsds_128_64")
     w_chk = float(np.log1p(np.exp(-0.048)))
     cpu_rate = numpy_nms_throughput(code, w_chk)  # before TPU loops (quiet host)
+    tf_rate = None
+    ref_json = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "runs", "refparity",
+        "refparity.json",
+    )
+    if os.path.exists(ref_json):
+        try:
+            with open(ref_json) as fh:
+                tf_rate = json.load(fh)["ref_tf_codewords_per_s_cpu"]
+        except Exception:
+            tf_rate = None
     tpu_rate, info = tpu_nms_throughput(code)
+    baseline = tf_rate if tf_rate else cpu_rate
     result = {
         "metric": "nms_decoded_codewords_per_s_1chip",
         "value": round(tpu_rate, 1),
         "unit": "codewords/s",
-        "vs_baseline": round(tpu_rate / cpu_rate, 2),
-        "baseline_cpu_codewords_per_s": round(cpu_rate, 1),
+        "vs_baseline": round(tpu_rate / baseline, 2),
+        "baseline_kind": "reference_tf2_cpu" if tf_rate else "numpy_standin_cpu",
+        "baseline_tf_codewords_per_s": round(tf_rate, 1) if tf_rate else None,
+        "vs_numpy_standin": round(tpu_rate / cpu_rate, 2),
+        "numpy_standin_codewords_per_s": round(cpu_rate, 1),
         **info,
     }
     print(json.dumps(result))
