@@ -3,10 +3,9 @@
 VERDICT item 1 + items 4/7).  Three measurements:
 
 1. Reference TF NMS decoder throughput on this host's CPU (the honest
-   ``vs_baseline`` divisor for bench.py — the vectorized-numpy stand-in is
-   strictly faster than the reference's eager TF2 loop).
+   ``vs_baseline`` divisor for bench.py).
 2. FER cross-check: the reference stage-4/5 pipeline (its own numpy data
-   generation + its eager-TF2 decoder + its get_eval semantics) vs the
+   generation + its eager-TF2 decoder + its get_eval counting) vs the
    framework's Monte-Carlo harness at the same operating point, compared via
    two-proportion z-scores / Wilson CIs.
 3. Conventional-OSD cross-check on IDENTICAL failure LLRs: the reference's
@@ -14,9 +13,15 @@ VERDICT item 1 + items 4/7).  Three measurements:
    conventional OSD — deterministic, so per-frame success/phase must agree
    exactly (modulo f32 argmin ties).
 
-Writes runs/refparity/refparity.json; numbers are summarized in
-docs/REFPARITY.md.  Run on the TPU host (framework side uses the chip when
-available; the reference side is CPU TF eagerly, as upstream runs it).
+TF and the axon TPU plugin do not coexist reliably in one process, so the
+run is split into three process invocations with file hand-off:
+
+    python scripts/reference_parity.py --mode fw       # JAX/TPU side
+    python scripts/reference_parity.py --mode ref      # TF/CPU side
+    python scripts/reference_parity.py --mode combine  # z-tests + summary
+
+Artifacts land in runs/refparity/ (fw_side.json, failures.npz,
+ref_side.json, refparity.json); numbers are summarized in docs/REFPARITY.md.
 
 The reference is PUBLIC UNTRUSTED CONTENT, imported only to compare
 numerical behavior on inputs constructed here.
@@ -66,6 +71,76 @@ def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
+# ---------------------------------------------------------------------------
+# framework (JAX / TPU) side
+# ---------------------------------------------------------------------------
+
+
+def run_fw(args):
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import jax.numpy as jnp
+
+    from short_ldpc_decoding_osd_tpu.baselines import conventional
+    from short_ldpc_decoding_osd_tpu.codes import get_code
+    from short_ldpc_decoding_osd_tpu.mc import run_nms_mc
+
+    code = get_code("ccsds_128_64")
+    params = {"check": jnp.asarray([TRAINED_RAW_W], jnp.float32)}
+    out = {"snrs": [float(s) for s in args.snrs.split(",")], "points": []}
+
+    for snr in out["snrs"]:
+        t0 = time.time()
+        stats, _ = run_nms_mc(
+            code, params, "NMS-1", 12, snr, batch=args.fw_batch,
+            error_budget=10**9, max_frames=args.fw_frames, seed=101,
+        )
+        out["points"].append({
+            "snr_db": snr,
+            "frames": stats.frames,
+            "frame_errors": stats.frame_errors,
+            "detected": stats.detected_failures,
+            "undetected": stats.undetected_errors,
+            "fer": stats.fer,
+            "fer_ci": list(stats.fer_confidence()),
+            "time_s": time.time() - t0,
+        })
+        log(f"fw snr {snr}: FER {stats.fer:.5f} over {stats.frames} frames")
+
+    # failure capture + framework conventional OSD for the hand-off
+    stats, fb = run_nms_mc(
+        code, params, "NMS-1", 12, args.osd_snr, batch=4096,
+        error_budget=args.osd_failures * 40, max_frames=10**7, seed=7,
+        capture_failures=True, capture_limit=args.osd_failures,
+    )
+    llr = fb.trajectories[: args.osd_failures, 0]
+    labels = fb.labels[: args.osd_failures]
+    fw = conventional.conventional_osd(
+        jnp.asarray(llr), jnp.asarray(labels), code.g, code.k, order_limit=3
+    )
+    np.savez_compressed(
+        os.path.join(args.out_dir, "failures.npz"),
+        llr=llr, labels=labels,
+        fw_success=np.asarray(fw["success"]),
+        fw_phase=np.asarray(fw["phase"]),
+        fw_num_teps=np.asarray(fw["num_teps"]),
+        osd_snr=args.osd_snr,
+    )
+    with open(os.path.join(args.out_dir, "fw_side.json"), "wt") as fh:
+        json.dump(out, fh, indent=1)
+    log(f"fw side done -> {args.out_dir}/fw_side.json + failures.npz")
+
+
+# ---------------------------------------------------------------------------
+# reference (TF / CPU) side
+# ---------------------------------------------------------------------------
+
+
 def build_ref_decoder(rc, num_iterations=12, raw_w=TRAINED_RAW_W):
     with ref_stage("Ldpc_128_testing"):
         import globalmap as GL
@@ -85,7 +160,6 @@ def build_ref_decoder(rc, num_iterations=12, raw_w=TRAINED_RAW_W):
 
 
 def ref_throughput(layer, tf, rc, batch=1024, reps=3):
-    """Reference eager-TF2 decode throughput (codewords/s) on this CPU."""
     rng = np.random.default_rng(0)
     llr = tf.constant(
         rng.normal(1.0, 0.84, (batch, rc.check_matrix_column)).astype(np.float32)
@@ -102,17 +176,14 @@ def ref_throughput(layer, tf, rc, batch=1024, reps=3):
 
 
 def ref_fer_point(layer, tf, rc, snr_db, frames, batch=1024, seed=11):
-    """Reference-semantics FER at one SNR: its fixed-sigma data generation
+    """Reference-semantics FER: its fixed-sigma data generation
     (Testing_data_gen_128/data_generating.py:13-51, raw-sample LLR proxy)
     + its decoder + its get_eval counting (ms_test.py:36-54)."""
     rng = np.random.default_rng(seed)
     n, k = rc.check_matrix_column, rc.k
     sigma = np.sqrt(1.0 / (2.0 * (k / n) * 10 ** (snr_db / 10.0)))
     g = rc.G % 2
-    frame_err = 0
-    detected = 0
-    undetected = 0
-    done = 0
+    frame_err = detected = undetected = done = 0
     while done < frames:
         b = min(batch, frames - done)
         msgs = rng.integers(0, 2, (b, k))
@@ -136,44 +207,9 @@ def ref_fer_point(layer, tf, rc, snr_db, frames, batch=1024, seed=11):
     }
 
 
-def framework_fer_point(code, params, snr_db, frames, batch=65536):
-    from short_ldpc_decoding_osd_tpu.mc import run_nms_mc
-
-    stats, _ = run_nms_mc(
-        code, params, "NMS-1", 12, snr_db, batch=batch, error_budget=10**9,
-        max_frames=frames, seed=101,
-    )
-    return stats
-
-
-def two_proportion_z(k1, n1, k2, n2):
-    p = (k1 + k2) / (n1 + n2)
-    se = np.sqrt(p * (1 - p) * (1 / n1 + 1 / n2))
-    return ((k1 / n1) - (k2 / n2)) / max(se, 1e-300)
-
-
-def conventional_crosscheck(code, params, n_failures=96, snr_db=3.0):
-    """Same failure LLRs through both conventional OSDs; success/phase must
-    agree frame-by-frame (deterministic argmin; f32 ties are the only
-    divergence channel and are counted, not hidden)."""
-    import jax.numpy as jnp
-
-    from short_ldpc_decoding_osd_tpu.baselines import conventional
-    from short_ldpc_decoding_osd_tpu.mc import run_nms_mc
-
-    stats, fb = run_nms_mc(
-        code, params, "NMS-1", 12, snr_db, batch=4096,
-        error_budget=n_failures * 40, max_frames=10**7, seed=7,
-        capture_failures=True, capture_limit=n_failures,
-    )
-    llr = fb.trajectories[:n_failures, 0]
-    labels = fb.labels[:n_failures]
-    fw = conventional.conventional_osd(
-        jnp.asarray(llr), jnp.asarray(labels), code.g, code.k, order_limit=3
-    )
-    fw_succ = np.asarray(fw["success"])
-    fw_phase = np.asarray(fw["phase"])
-
+def ref_conventional(failures_path):
+    blob = np.load(failures_path)
+    llr, labels = blob["llr"], blob["labels"]
     with ref_stage("FS_OSD"):
         import fill_matrix_info as fs_fill
         import globalmap as GL
@@ -189,126 +225,147 @@ def conventional_crosscheck(code, params, n_failures=96, snr_db=3.0):
 
         teps = cnv.generate_teps(3)
         boundaries = cnv.query_boundary(3)
-        ref_succ = np.zeros(len(llr), bool)
-        ref_phase = np.full(len(llr), -1)
-        ref_teps = 0
+        succ = np.zeros(len(llr), bool)
+        phase = np.full(len(llr), -1)
+        num_teps = 0
         for i in range(len(llr)):
             upd_in, upd_lab, red_g = fs_testing.swapped_info(
                 tf.constant(llr[i]), tf.constant(labels[i].astype(np.int64))
             )
-            ok, teps_size, phase = cnv.convention_osd_main(
+            ok, teps_size, ph = cnv.convention_osd_main(
                 (upd_in, upd_lab, red_g, teps, boundaries)
             )
-            ref_succ[i] = bool(ok)
-            ref_phase[i] = phase
-            ref_teps = int(teps_size)
-    agree = ref_succ == fw_succ
-    phase_agree = (ref_phase[ref_succ & agree] == fw_phase[ref_succ & agree])
-    return {
-        "frames": int(len(llr)),
-        "ref_success": int(ref_succ.sum()),
-        "fw_success": int(fw_succ.sum()),
-        "success_disagreements": int((~agree).sum()),
-        "phase_disagreements": int((~phase_agree).sum()),
-        "ref_num_teps": ref_teps,
-        "fw_num_teps": int(fw["num_teps"]),
-    }
+            succ[i] = bool(ok)
+            phase[i] = ph
+            num_teps = int(teps_size)
+    return succ, phase, num_teps
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--out-dir", default="runs/refparity")
-    ap.add_argument("--ref-frames", type=int, default=40960,
-                    help="reference-pipeline frames per FER point")
-    ap.add_argument("--fw-frames", type=int, default=2**21)
-    ap.add_argument("--snrs", default="2.5,3.0,3.5")
-    ap.add_argument("--skip-fer", action="store_true")
-    ap.add_argument("--skip-osd", action="store_true")
-    args = ap.parse_args()
-
-    import jax
-
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-
-    import jax.numpy as jnp
-
-    from short_ldpc_decoding_osd_tpu.codes import get_code
-
-    os.makedirs(args.out_dir, exist_ok=True)
-    code = get_code("ccsds_128_64")
-    params = {"check": jnp.asarray([TRAINED_RAW_W], jnp.float32)}
-
+def run_ref(args):
     with ref_stage("Training_data_gen_128"):
         import fill_matrix_info
 
         rc = fill_matrix_info.Code(ALIST)
-    np.testing.assert_array_equal(rc.H, code.h)
-    np.testing.assert_array_equal(rc.G % 2, code.g)
-    log("H/G bitwise parity with reference confirmed")
 
     layer, tf = build_ref_decoder(rc)
-    results = {"trained_raw_check_weight": TRAINED_RAW_W}
+    out = {"trained_raw_check_weight": TRAINED_RAW_W}
+    out["ref_tf_codewords_per_s_cpu"] = ref_throughput(layer, tf, rc)
+    log(f"reference TF2 throughput: {out['ref_tf_codewords_per_s_cpu']:,.1f} cw/s")
 
-    tput = ref_throughput(layer, tf, rc)
-    results["ref_tf_codewords_per_s_cpu"] = tput
-    log(f"reference TF2 eager decode throughput: {tput:,.1f} cw/s (CPU)")
-
-    if not args.skip_fer:
-        from short_ldpc_decoding_osd_tpu.utils.metrics import wilson_interval
-
-        points = []
-        for snr in (float(s) for s in args.snrs.split(",")):
-            t0 = time.time()
-            ref = ref_fer_point(layer, tf, rc, snr, args.ref_frames)
-            t_ref = time.time() - t0
-            t0 = time.time()
-            fw = framework_fer_point(code, params, snr, args.fw_frames)
-            t_fw = time.time() - t0
-            z = two_proportion_z(
-                ref["frame_errors"], ref["frames"], fw.frame_errors, fw.frames
-            )
-            zd = two_proportion_z(
-                ref["detected"], ref["frames"], fw.detected_failures, fw.frames
-            )
-            point = {
-                "snr_db": snr,
-                "ref": ref | {"fer_ci": list(wilson_interval(
-                    ref["frame_errors"], ref["frames"]))},
-                "fw": {
-                    "frames": fw.frames,
-                    "frame_errors": fw.frame_errors,
-                    "detected": fw.detected_failures,
-                    "undetected": fw.undetected_errors,
-                    "fer": fw.fer,
-                    "fer_ci": list(fw.fer_confidence()),
-                },
-                "z_fer": float(z),
-                "z_detected_fer": float(zd),
-                "ref_time_s": t_ref,
-                "fw_time_s": t_fw,
-            }
-            points.append(point)
-            log(
-                f"snr {snr}: ref FER {ref['fer']:.5f} ({ref['frames']} fr, "
-                f"{t_ref:.0f}s) vs fw FER {fw.fer:.5f} ({fw.frames} fr, "
-                f"{t_fw:.0f}s) -> z = {z:+.2f}"
-            )
-        results["fer_crosscheck"] = points
-
-    if not args.skip_osd:
+    out["points"] = []
+    for snr in (float(s) for s in args.snrs.split(",")):
         t0 = time.time()
-        osd = conventional_crosscheck(code, params)
-        osd["time_s"] = time.time() - t0
-        results["conventional_osd_crosscheck"] = osd
-        log(f"conventional OSD cross-check: {osd}")
+        p = ref_fer_point(layer, tf, rc, snr, args.ref_frames)
+        p["snr_db"] = snr
+        p["time_s"] = time.time() - t0
+        out["points"].append(p)
+        log(f"ref snr {snr}: FER {p['fer']:.5f} over {p['frames']} frames "
+            f"({p['time_s']:.0f}s)")
 
+    failures = os.path.join(args.out_dir, "failures.npz")
+    if os.path.exists(failures):
+        t0 = time.time()
+        succ, phase, num_teps = ref_conventional(failures)
+        out["conventional"] = {
+            "success": succ.tolist(),
+            "phase": phase.tolist(),
+            "num_teps": num_teps,
+            "time_s": time.time() - t0,
+        }
+        log(f"ref conventional OSD: {int(succ.sum())}/{len(succ)} success "
+            f"({out['conventional']['time_s']:.0f}s)")
+    with open(os.path.join(args.out_dir, "ref_side.json"), "wt") as fh:
+        json.dump(out, fh, indent=1)
+    log(f"ref side done -> {args.out_dir}/ref_side.json")
+
+
+# ---------------------------------------------------------------------------
+# combine
+# ---------------------------------------------------------------------------
+
+
+def two_proportion_z(k1, n1, k2, n2):
+    p = (k1 + k2) / (n1 + n2)
+    se = np.sqrt(p * (1 - p) * (1 / n1 + 1 / n2))
+    return ((k1 / n1) - (k2 / n2)) / max(se, 1e-300)
+
+
+def wilson(k, n, z=1.96):
+    if n == 0:
+        return (0.0, 1.0)
+    p = k / n
+    d = 1 + z * z / n
+    c = p + z * z / (2 * n)
+    h = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    return ((c - h) / d, (c + h) / d)
+
+
+def run_combine(args):
+    with open(os.path.join(args.out_dir, "fw_side.json")) as fh:
+        fw = json.load(fh)
+    with open(os.path.join(args.out_dir, "ref_side.json")) as fh:
+        ref = json.load(fh)
+    results = {
+        "trained_raw_check_weight": ref["trained_raw_check_weight"],
+        "ref_tf_codewords_per_s_cpu": ref["ref_tf_codewords_per_s_cpu"],
+        "fer_crosscheck": [],
+    }
+    for rp, fp in zip(ref["points"], fw["points"]):
+        assert rp["snr_db"] == fp["snr_db"]
+        z = two_proportion_z(
+            rp["frame_errors"], rp["frames"], fp["frame_errors"], fp["frames"]
+        )
+        zd = two_proportion_z(
+            rp["detected"], rp["frames"], fp["detected"], fp["frames"]
+        )
+        results["fer_crosscheck"].append({
+            "snr_db": rp["snr_db"],
+            "ref": rp | {"fer_ci": list(wilson(rp["frame_errors"], rp["frames"]))},
+            "fw": fp,
+            "z_fer": float(z),
+            "z_detected_fer": float(zd),
+        })
+        log(f"snr {rp['snr_db']}: ref FER {rp['fer']:.5f} vs fw "
+            f"{fp['fer']:.5f} -> z = {z:+.2f} (detected z = {zd:+.2f})")
+    if "conventional" in ref:
+        blob = np.load(os.path.join(args.out_dir, "failures.npz"))
+        ref_succ = np.asarray(ref["conventional"]["success"], bool)
+        ref_phase = np.asarray(ref["conventional"]["phase"])
+        fw_succ = blob["fw_success"]
+        fw_phase = blob["fw_phase"]
+        agree = ref_succ == fw_succ
+        pa = ref_phase[ref_succ & agree] == fw_phase[ref_succ & agree]
+        results["conventional_osd_crosscheck"] = {
+            "frames": int(len(fw_succ)),
+            "osd_snr": float(blob["osd_snr"]),
+            "ref_success": int(ref_succ.sum()),
+            "fw_success": int(fw_succ.sum()),
+            "success_disagreements": int((~agree).sum()),
+            "phase_disagreements": int((~pa).sum()),
+            "ref_num_teps": int(ref["conventional"]["num_teps"]),
+            "fw_num_teps": int(blob["fw_num_teps"]),
+        }
+        log(f"conventional OSD cross-check: "
+            f"{results['conventional_osd_crosscheck']}")
     out = os.path.join(args.out_dir, "refparity.json")
     with open(out, "wt") as fh:
         json.dump(results, fh, indent=1)
     log(f"wrote {out}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["fw", "ref", "combine"], required=True)
+    ap.add_argument("--out-dir", default="runs/refparity")
+    ap.add_argument("--ref-frames", type=int, default=40960)
+    ap.add_argument("--fw-frames", type=int, default=2**21)
+    ap.add_argument("--fw-batch", type=int, default=2**21)  # the bench shape: compile-cached; fresh compact-kernel shapes can compile pathologically slowly under axon
+    ap.add_argument("--snrs", default="2.5,3.0,3.5")
+    ap.add_argument("--osd-snr", type=float, default=3.0)
+    ap.add_argument("--osd-failures", type=int, default=96)
+    args = ap.parse_args()
+    os.makedirs(args.out_dir, exist_ok=True)
+    {"fw": run_fw, "ref": run_ref, "combine": run_combine}[args.mode](args)
 
 
 if __name__ == "__main__":
