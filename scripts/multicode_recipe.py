@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Full two-phase recipe (NMS train -> failure harvest -> DIA + path ->
+stopper -> DL-OSD FER sweep) on codes beyond CCSDS (128,64) — round-2
+VERDICT item 9: prove the OSD/DIA/stopper chain is shape-parametric in
+practice, including a rank-deficient H (array_121_60 carries redundant
+rows, exercising the h_osd full-rank-basis path).
+
+Budgets are reduced vs the flagship run (this is a shape-generality proof,
+not a publication curve).  Artifacts -> runs/r3_multicode/<code>/.
+
+Usage: python scripts/multicode_recipe.py [--codes a,b] [--quick]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np
+
+from short_ldpc_decoding_osd_tpu.pipeline.recipe import RecipeConfig, run_recipe
+
+# (code, snr range, nms error budget, osd failures, train failures)
+PLANS = {
+    "regular_256_128": ("2.0:3.0:3", 8000, 200, 6000),
+    "array_121_60": ("2.0:3.5:4", 8000, 200, 6000),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--codes", default=",".join(PLANS))
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny budgets (pipeline smoke, not a curve)")
+    ap.add_argument("--out-root", default="runs/r3_multicode")
+    args = ap.parse_args()
+
+    summary = {}
+    for name in args.codes.split(","):
+        snrs, nms_budget, osd_budget, train_target = PLANS[name]
+        if args.quick:
+            nms_budget, osd_budget, train_target = 500, 30, 800
+        lo, hi, num = snrs.split(":")
+        points = np.linspace(float(lo), float(hi), int(num))
+        cfg = RecipeConfig(
+            code_name=name,
+            nms_error_budget=nms_budget,
+            osd_failure_budget=osd_budget,
+            train_failure_target=train_target,
+            max_frames_per_snr=10**8,
+            eval_batch=4096,
+        )
+        t0 = time.time()
+        print(f"=== {name} ===", flush=True)
+        curve = run_recipe(cfg, os.path.join(args.out_root, name), points)
+        summary[name] = {
+            "elapsed_s": time.time() - t0,
+            "points": [
+                {k: p[k] for k in
+                 ("snr_db", "fer_nms_detected", "fer_osd", "fer_total",
+                  "frames")}
+                for p in curve["points"]
+            ],
+        }
+        print(json.dumps(summary[name]), flush=True)
+    os.makedirs(args.out_root, exist_ok=True)
+    with open(os.path.join(args.out_root, "summary.json"), "wt") as fh:
+        json.dump(summary, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -6,7 +6,8 @@ Each variant monkeypatches the sampler used inside the one-shot edge MC
 kernel BEFORE the first trace and times the kernel; run one variant per
 process (the jit cache keys on arguments, not on the patched sampler):
 
-  base      current full-pair Box-Muller
+  base      current sampler (Box-Muller pairs + spare-bit msg harvest;
+            SLDPC_MSG_HARVEST=0 selects the separate-msg-draw variant)
   uniform   centered uniforms (WRONG distribution - timing only): no
             log/sqrt/cos/sin, isolates the transcendental cost
   halfbits  Box-Muller from 16-bit uniform halves: half the PRNG words
@@ -53,13 +54,14 @@ def main():
     params = nms.init_params("NMS-1")
 
     if args.variant == "uniform":
-        def fake_normals(bt, n):
-            u = mc_pallas._uniform01((bt, n))
-            return u - 0.5
+        def fake_sample(bt, n, k):
+            w = mc_pallas._random_words((bt, n))
+            msg = jnp.bitwise_and(w[:, :k], jnp.int32(1)).astype(jnp.float32)
+            return msg, mc_pallas._u24_from_words(w) - 0.5
 
-        nms_edge_pallas._standard_normals = fake_normals
+        nms_edge_pallas._sample_msg_and_normals = fake_sample
     elif args.variant == "halfbits":
-        def half_normals(bt, n):
+        def half_sample(bt, n, k):
             # one 32-bit word -> two 16-bit uniforms; half the PRNG draws
             TWO_PI = 6.283185307179586
             half = n // 2
@@ -74,10 +76,14 @@ def main():
             u2 = hi.astype(jnp.float32) * (1.0 / 65536.0) + (0.5 / 65536.0)
             r = jnp.sqrt(-2.0 * jnp.log(u1))
             theta = TWO_PI * u2
-            return jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)],
-                                   axis=1)
+            z = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)],
+                                axis=1)
+            msg = jnp.bitwise_and(
+                mc_pallas._random_words((bt, k)), jnp.int32(1)
+            ).astype(jnp.float32)
+            return msg, z
 
-        nms_edge_pallas._standard_normals = half_normals
+        nms_edge_pallas._sample_msg_and_normals = half_sample
 
     if args.variant == "decode":
         rng = np.random.default_rng(0)
