@@ -6,9 +6,19 @@ and reports FER with binomial CIs + the two-proportion z-score.  Use before
 changing the default mode: min-sum decisions are tie-sensitive, so reduced
 matmul precision must be shown statistically indistinguishable (|z| < 3)
 at the resolution that matters for the FER curve.
+
+Trace-time switches that don't key the jit cache (e.g. the
+``SLDPC_MSG_HARVEST`` sampler choice) need one process per setting::
+
+    python scripts/fer_mode_check.py --compare-env SLDPC_MSG_HARVEST=0,1
+
+runs this script once per value in a subprocess (single mode, first of
+FER_MODES) and reports the two-proportion z between the settings.
 """
 
 import os
+import re
+import subprocess
 import sys
 import time
 
@@ -23,6 +33,26 @@ STEPS = int(os.environ.get("FER_STEPS", 4))
 SNR = float(os.environ.get("FER_SNR", 3.0))
 ITERS = int(os.environ.get("FER_ITERS", 12))
 MODES = os.environ.get("FER_MODES", "split,bf16").split(",")
+
+
+def compare_env(spec):
+    """Run this script once per env value in subprocesses and z-test."""
+    name, values = spec.split("=")
+    results = {}
+    for val in values.split(","):
+        env = dict(os.environ, **{name: val, "FER_MODES": MODES[0]})
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        m = re.search(r"frames=(\d+) errors=(\d+)", out)
+        results[val] = (int(m.group(1)), int(m.group(2)))
+        print(f"{name}={val}: {out.strip().splitlines()[-1]}", flush=True)
+    (n1, e1), (n2, e2) = list(results.values())[:2]
+    p = (e1 + e2) / (n1 + n2)
+    z = (e1 / n1 - e2 / n2) / np.sqrt(p * (1 - p) * (1 / n1 + 1 / n2))
+    print(f"two-proportion z = {z:+.2f}  "
+          f"({'indistinguishable' if abs(z) < 3 else 'DIFFERENT'})")
 
 
 def main():
@@ -57,4 +87,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--compare-env":
+        compare_env(sys.argv[2])
+    else:
+        main()

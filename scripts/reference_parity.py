@@ -241,6 +241,26 @@ def ref_conventional(failures_path):
     return succ, phase, num_teps
 
 
+def run_throughput(args):
+    """Re-measure ONLY the reference TF2 throughput (quiet host) and patch
+    it into ref_side.json — the FER points are load-insensitive but the
+    throughput divisor is not; measure it with nothing else running."""
+    with ref_stage("Training_data_gen_128"):
+        import fill_matrix_info
+
+        rc = fill_matrix_info.Code(ALIST)
+    layer, tf = build_ref_decoder(rc)
+    rate = ref_throughput(layer, tf, rc, reps=5)
+    log(f"reference TF2 throughput (quiet host): {rate:,.1f} cw/s")
+    path = os.path.join(args.out_dir, "ref_side.json")
+    with open(path) as fh:
+        out = json.load(fh)
+    out["ref_tf_codewords_per_s_cpu"] = rate
+    with open(path, "wt") as fh:
+        json.dump(out, fh, indent=1)
+    log(f"patched {path}")
+
+
 def run_ref(args):
     with ref_stage("Training_data_gen_128"):
         import fill_matrix_info
@@ -355,7 +375,9 @@ def run_combine(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["fw", "ref", "combine"], required=True)
+    ap.add_argument(
+        "--mode", choices=["fw", "ref", "combine", "throughput"], required=True
+    )
     ap.add_argument("--out-dir", default="runs/refparity")
     ap.add_argument("--ref-frames", type=int, default=40960)
     ap.add_argument("--fw-frames", type=int, default=2**21)
@@ -365,7 +387,8 @@ def main():
     ap.add_argument("--osd-failures", type=int, default=96)
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
-    {"fw": run_fw, "ref": run_ref, "combine": run_combine}[args.mode](args)
+    {"fw": run_fw, "ref": run_ref, "combine": run_combine,
+     "throughput": run_throughput}[args.mode](args)
 
 
 if __name__ == "__main__":

@@ -18,6 +18,7 @@ re-derives failures separately).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,13 +30,22 @@ _BIG = 3.4e38
 _TWO_PI = 6.283185307179586
 
 
-def _uniform01(shape):
-    """(0,1) uniforms from raw PRNG bits (24-bit mantissa path)."""
-    bits = pltpu.prng_random_bits(shape)
-    u24 = jnp.right_shift(pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8))
+def _random_words(shape):
+    """Raw PRNG words as int32 (Mosaic lacks uint32 vector arithmetic)."""
+    return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+
+
+def _u24_from_words(w):
+    """Words -> (0,1) uniforms using the top 24 bits (f32-mantissa exact)."""
+    u24 = jnp.right_shift(pltpu.bitcast(w, jnp.uint32), jnp.uint32(8))
     # Mosaic lacks uint32->f32; the 24-bit value is int32-safe
     u24 = pltpu.bitcast(u24, jnp.int32)
     return u24.astype(jnp.float32) * (1.0 / 16777216.0) + (0.5 / 16777216.0)
+
+
+def _uniform01(shape):
+    """(0,1) uniforms from raw PRNG bits (24-bit mantissa path)."""
+    return _u24_from_words(_random_words(shape))
 
 
 def _standard_normals(bt: int, n: int):
@@ -56,6 +66,46 @@ def _standard_normals(bt: int, n: int):
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     theta = _TWO_PI * u2
     return jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=1)
+
+
+def _sample_msg_and_normals(bt: int, n: int, k: int):
+    """Draw ``(bt, k)`` message bits and ``(bt, n)`` standard normals.
+
+    The normals consume bits 8..31 of each PRNG word (the 24-bit uniform
+    path above); bits 0..7 are spare.  The message bits HARVEST bit 0 of the
+    first ``k`` noise words instead of paying a separate ``(bt, k)`` PRNG
+    draw — distinct bit positions of one word are independent for the
+    counter-based on-core generator, and the FER agreement with the
+    separate-draw sampler is validated statistically
+    (scripts/fer_mode_check.py --compare harvest).  ``SLDPC_MSG_HARVEST=0``
+    restores the separate draw (trace-time switch; new jit cache key NOT
+    created — run one choice per process)."""
+    harvest = os.environ.get("SLDPC_MSG_HARVEST", "1") != "0"
+    if not harvest:
+        # msg drawn FIRST: reproduces the pre-harvest kernels' same-seed
+        # streams exactly
+        msg_words = _random_words((bt, k))
+        z = _standard_normals(bt, n)
+    elif n % 2:
+        w1 = _random_words((bt, n))
+        w2 = _random_words((bt, n))
+        z = jnp.sqrt(-2.0 * jnp.log(_u24_from_words(w1))) * jnp.cos(
+            _TWO_PI * _u24_from_words(w2)
+        )
+        msg_words = w1[:, :k]
+    else:
+        half = n // 2
+        w1 = _random_words((bt, half))
+        w2 = _random_words((bt, half))
+        r = jnp.sqrt(-2.0 * jnp.log(_u24_from_words(w1)))
+        theta = _TWO_PI * _u24_from_words(w2)
+        z = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=1)
+        if k <= half:
+            msg_words = w1[:, :k]
+        else:
+            msg_words = jnp.concatenate([w1, w2[:, : k - half]], axis=1)
+    msg = jnp.bitwise_and(msg_words, jnp.int32(1)).astype(jnp.float32)
+    return msg, z
 
 
 def _mc_kernel(
@@ -86,11 +136,9 @@ def _mc_kernel(
     pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
     # --- sample ---
-    msg_bits = pltpu.bitcast(pltpu.prng_random_bits((bt, k)), jnp.int32)
-    msg = jnp.bitwise_and(msg_bits, jnp.int32(1)).astype(jnp.float32)
+    msg, z = _sample_msg_and_normals(bt, n, k)
     prods = jnp.dot(msg, g, preferred_element_type=jnp.float32)
     codeword = prods - 2.0 * jnp.floor(prods * 0.5)  # (bt, n) in {0,1}
-    z = _standard_normals(bt, n)
     received = mean + sigma * z
     llr = (1.0 - 2.0 * codeword) * received
 

@@ -46,7 +46,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mc_pallas import _standard_normals
+from .mc_pallas import _sample_msg_and_normals
 
 _BIAS = 1e30
 _TWO_PI = 6.283185307179586
@@ -405,11 +405,9 @@ def _mc_kernel(dc, num_iterations, sigma, mean, mode, slab_has_dummy,
     pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
     # --- sample (identical to mc_pallas._mc_kernel) ---
-    msg_bits = pltpu.bitcast(pltpu.prng_random_bits((bt, k)), jnp.int32)
-    msg = jnp.bitwise_and(msg_bits, jnp.int32(1)).astype(jnp.float32)
+    msg, z = _sample_msg_and_normals(bt, n, k)
     prods = jnp.dot(msg, g, preferred_element_type=jnp.float32)
     codeword = prods - 2.0 * jnp.floor(prods * 0.5)
-    z = _standard_normals(bt, n)
     received = mean + sigma * z
     llr = (1.0 - 2.0 * codeword) * received
 
@@ -603,11 +601,9 @@ def _mc_schedule_kernel(dc, schedule, final_iters, sigma, mean, mode,
     pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
     # --- sample (as _mc_kernel) ---
-    msg_bits = pltpu.bitcast(pltpu.prng_random_bits((bt, k)), jnp.int32)
-    msg = jnp.bitwise_and(msg_bits, jnp.int32(1)).astype(jnp.float32)
+    msg, z = _sample_msg_and_normals(bt, n, k)
     prods = jnp.dot(msg, g, preferred_element_type=jnp.float32)
     codeword = prods - 2.0 * jnp.floor(prods * 0.5)
-    z = _standard_normals(bt, n)
     llr = (1.0 - 2.0 * codeword) * (mean + sigma * z)
 
     # The cv/llr gathers at each stage boundary stay at >= split exactness
