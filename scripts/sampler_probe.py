@@ -60,6 +60,20 @@ def main():
             return msg, mc_pallas._u24_from_words(w) - 0.5
 
         nms_edge_pallas._sample_msg_and_normals = fake_sample
+    elif args.variant == "constz":
+        def const_sample(bt, n, k):
+            # NO PRNG, NO transcendentals: synthetic per-frame-varying
+            # msg/noise from iota hashes (WRONG distribution - timing only).
+            # Isolates the ENTIRE sampling cost; what remains is
+            # encode + decode + count.
+            r = jax.lax.broadcasted_iota(jnp.int32, (bt, n), 0)
+            c = jax.lax.broadcasted_iota(jnp.int32, (bt, n), 1)
+            hsh = (r * 40503 + c * 1540483477) & 0xFFFFFF
+            z = hsh.astype(jnp.float32) * (2.0 / 16777216.0) - 1.0
+            msg = jnp.bitwise_and(hsh[:, :k], 1).astype(jnp.float32)
+            return msg, z
+
+        nms_edge_pallas._sample_msg_and_normals = const_sample
     elif args.variant == "halfbits":
         def half_sample(bt, n, k):
             # one 32-bit word -> two 16-bit uniforms; half the PRNG draws

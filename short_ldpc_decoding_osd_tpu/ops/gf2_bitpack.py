@@ -62,6 +62,66 @@ def unpack_columns(packed: jnp.ndarray, n: int, dtype=jnp.int8) -> jnp.ndarray:
     return jnp.transpose(bits, (2, 0, 1)).astype(dtype)
 
 
+def pack_permuted(invperm: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """Column-permuted + bit-packed work tensor straight from the MXU.
+
+    ``invperm`` is the (B, n) INVERSE reliability permutation — original
+    column ``j`` lands at position ``invperm[b, j]``.  Instead of forming
+    the dense (B, m, n) permuted matrix and then packing it (two ~2 ms
+    passes at B=4096 on v5e — as expensive as the entire 64-step
+    elimination, see scripts/packing_probe.py), compose the permutation with
+    the packing weights arithmetically and let one MXU matmul emit the
+    packed words directly:
+
+        words[b, i, w] = Σ_bit h[i, perm[b, 32w+bit]] << bit
+                       = Σ_j h[i, j] · W2[b, j, w]
+
+    where ``W2[b, j, w] = 2^(invperm[b,j] % 32)`` at ``w == invperm//32``
+    (a 16 MB elementwise build — no (B, n, n) one-hot anywhere).
+    Exactness: each half-word (lo/hi 16 bits, separate W2 planes) is a sum
+    of ≤ 16 DISTINCT powers of two < 2^16 — exactly representable in f32 —
+    and ``Precision.HIGHEST`` makes the TPU matmul f32-exact."""
+    b, n = invperm.shape
+    nw = -(-n // 32)
+    pos = invperm.astype(jnp.int32)
+    word = pos // 32
+    bit = pos % 32
+    half = bit // 16
+    # exact powers of two via integer shift (exp2 lowers to an APPROXIMATE
+    # exp on TPU and misses e.g. 2^15 by 1 ulp); values < 2^24 cast exactly
+    val = jnp.left_shift(jnp.int32(1), bit % 16).astype(jnp.float32)
+    sel = (
+        (word[..., None] == jnp.arange(nw, dtype=jnp.int32))[..., None]
+        & (half[..., None, None] == jnp.arange(2, dtype=jnp.int32))
+    )
+    w2 = jnp.where(sel, val[..., None, None], 0.0)  # (B, n, nw, 2)
+    hi = jax.lax.Precision.HIGHEST
+    parts = jnp.einsum("ij,bjwh->biwh", h.astype(jnp.float32), w2,
+                       precision=hi)
+    words = parts[..., 0].astype(jnp.int32) | jnp.left_shift(
+        parts[..., 1].astype(jnp.int32), 16
+    )
+    return jnp.transpose(words, (1, 2, 0))  # (m, nw, B)
+
+
+def unpack_tail_columns(packed: jnp.ndarray, n: int, k: int,
+                        dtype=jnp.int8) -> jnp.ndarray:
+    """Dense (B, m, k) of the LAST k columns only (the M-matrix source).
+
+    Transposes the 32×-smaller packed tensor first, then bit-expands — the
+    production ``unpack_columns`` gathers a (m, n, B) int32 intermediate and
+    transposes the dense result, which costs ~2 ms at B=4096 for data the
+    M matrix never reads (the leading n-k columns are the identity)."""
+    m, nw, b = packed.shape
+    w0 = (n - k) // 32
+    x = jnp.transpose(packed[:, w0:, :], (2, 0, 1))  # (B, m, nw-w0)
+    bit_of = jnp.left_shift(jnp.int32(1), jnp.arange(32, dtype=jnp.int32))
+    bits = (x[..., None] & bit_of) != 0
+    cols = bits.reshape(b, m, (nw - w0) * 32)
+    off = (n - k) - w0 * 32
+    return cols[:, :, off:off + k].astype(dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("m_steps",))
 def _reduce_packed(mat: jnp.ndarray, col_order: jnp.ndarray, m_steps: int):
     """Core loop over ``m_steps`` pivots on the packed (m, nw, B) tensor."""

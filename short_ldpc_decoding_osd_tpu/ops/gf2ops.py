@@ -137,6 +137,51 @@ def identify_mrb(h_batch: jnp.ndarray, k: int):
         reduced, col_order = batched_row_reduce_bitpack(h_batch)
     else:
         reduced, col_order = batched_row_reduce(h_batch)
+    return _mrb_post(reduced[:, :, n - k:], col_order, n, k)
+
+
+def identify_mrb_from_perm(perm: jnp.ndarray, h: jnp.ndarray, k: int,
+                           use_packed: bool | None = None):
+    """:func:`identify_mrb` without ever materializing the dense permuted
+    matrix.
+
+    ``perm`` is the (B, n) reliability permutation (ascending |input|) and
+    ``h`` the STATIC (m, n) parity matrix.  On TPU the permuted+packed work
+    tensor comes straight off the MXU (``gf2_bitpack.pack_permuted``) and
+    only the k M-matrix columns are unpacked after elimination
+    (``unpack_tail_columns``) — the dense (B, m, n) permute/pack/unpack
+    passes cost ~2 ms EACH at B=4096 on v5e, as much as the whole 64-step
+    elimination loop (scripts/ge_probe.py / packing_probe.py).  Bit-exact
+    vs ``identify_mrb(permute_columns(perm, h), k)``."""
+    b, n = perm.shape
+    m = h.shape[0]
+    if use_packed is None:
+        use_packed = jax.default_backend() == "tpu"
+    if use_packed:
+        from .gf2_bitpack import (
+            _reduce_packed,
+            pack_permuted,
+            unpack_tail_columns,
+        )
+
+        invperm = jnp.argsort(perm, axis=-1)  # perm is a permutation: exact
+        packed = pack_permuted(invperm, jnp.asarray(h))
+        col_order0 = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[:, None], (n, b)
+        )
+        mat, col_order = _reduce_packed(packed, col_order0, m_steps=m)
+        reduced_tail = unpack_tail_columns(mat, n, k)
+        col_order = jnp.transpose(col_order, (1, 0))
+    else:
+        h_p = permute_columns(perm, h)
+        reduced, col_order = batched_row_reduce(h_p)
+        reduced_tail = reduced[:, :, n - k:]
+    return _mrb_post(reduced_tail, col_order, n, k)
+
+
+def _mrb_post(reduced_tail: jnp.ndarray, col_order: jnp.ndarray, n: int,
+              k: int):
+    """Shared identify_mrb post-processing: MRB re-sort + M matrix."""
     mrb_cols = col_order[:, -k:]  # reliability ranks of MRB positions
     sort_idx = jnp.argsort(mrb_cols, axis=1)
     mrb_sorted = jnp.take_along_axis(mrb_cols, sort_idx, axis=1)
@@ -150,7 +195,7 @@ def identify_mrb(h_batch: jnp.ndarray, k: int):
     m_matrix = (
         jnp.einsum(
             "bmj,bjp->bmp",
-            reduced[:, :, -k:].astype(jnp.bfloat16),
+            reduced_tail.astype(jnp.bfloat16),
             oh_sort,
             preferred_element_type=jnp.float32,
         )
@@ -184,12 +229,18 @@ def reliability_sort(inputs: jnp.ndarray, h: jnp.ndarray):
 
     Returns (perm, h_permuted) where perm is (B, n) original-position indices
     in ascending-reliability order and h_permuted is (B, m, n)."""
-    n = h.shape[1]
     perm = jnp.argsort(jnp.abs(inputs), axis=-1, stable=True)
+    return perm, permute_columns(perm, h)
+
+
+def permute_columns(perm: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """(B, n) permutation × static (m, n) H -> (B, m, n) column-permuted H
+    via the one-hot MXU matmul (see :func:`reliability_sort`)."""
+    n = h.shape[1]
     onehot = (
         perm[:, None, :] == jnp.arange(n, dtype=perm.dtype)[None, :, None]
     ).astype(jnp.bfloat16)  # (B, n_orig, n_pos)
-    h_p = (
+    return (
         jax.lax.dot_general(
             h.astype(jnp.bfloat16),
             onehot,
@@ -199,7 +250,6 @@ def reliability_sort(inputs: jnp.ndarray, h: jnp.ndarray):
         .transpose(1, 0, 2)
         .astype(jnp.int8)
     )
-    return perm, h_p
 
 
 def mod2_matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -52,29 +52,36 @@ def prepare(updated, original, labels, h, k: int) -> PreparedBatch:
     """Sort by |updated| ascending, run GE, apply the final index order.
 
     Mirrors ``check_matrix_reorder`` + ``identify_mrb`` + the gathers in
-    ``sliding_osd`` (``ordered_statistics_decoding.py:169-185``)."""
-    perm, h_p = gf2ops.reliability_sort(updated, h)
-    mrb_info = gf2ops.identify_mrb(h_p, k)
-    index_order = mrb_info["index_order"]
-    # Apply the composed permutation (final position -> original position,
-    # full_perm = perm[index_order]) to the per-bit vectors as two batched
-    # one-hot matmuls instead of per-frame take_along_axis gathers (those
-    # serialize badly on TPU).  With Precision.HIGHEST the 3-way bf16 split
-    # represents every f32 operand exactly and each output entry is a
-    # single-term sum, so the "gather" is bit-exact.
+    ``sliding_osd`` (``ordered_statistics_decoding.py:169-185``).  The
+    permuted H is never materialized densely on TPU — GE runs on the
+    MXU-packed tensor (``gf2ops.identify_mrb_from_perm``)."""
+    # Reliability sort + gather of the per-bit vectors in ONE stable co-sort
+    # (exact, and avoids a (B, n, n) one-hot pass; jnp.argsort(stable=True)
+    # is lax.sort with an iota tiebreak, so the carried operands land in
+    # exactly argsort order).
     n = updated.shape[1]
-    ar = jnp.arange(n, dtype=index_order.dtype)
-    oh_perm = (perm[:, :, None] == ar[None, None, :]).astype(jnp.float32)
-    oh_io = (index_order[:, :, None] == ar[None, None, :]).astype(jnp.float32)
-    v = jnp.stack(
-        [updated, original, labels.astype(jnp.float32)], axis=1
-    )  # (B, 3, n)
-    hi = jax.lax.Precision.HIGHEST
-    y = jnp.einsum("bvj,bqj->bvq", v, oh_perm, precision=hi)  # x[perm[q]]
-    z = jnp.einsum("bvq,bpq->bvp", y, oh_io, precision=hi)  # y[index_order[p]]
-    order_updated = z[:, 0]
-    order_original = z[:, 1]
-    order_labels = z[:, 2].astype(jnp.int8)
+    iota = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[None, :], updated.shape
+    )
+    _, perm, u_s, o_s, l_f = jax.lax.sort(
+        (jnp.abs(updated), iota, updated, original,
+         labels.astype(jnp.float32)),
+        dimension=1, num_keys=1, is_stable=True,
+    )
+    mrb_info = gf2ops.identify_mrb_from_perm(perm, h, k)
+    index_order = mrb_info["index_order"]
+    # Second gather (by the GE-dependent index_order): z[p] = y[io[p]] via
+    # two exact sorts (keys are permutations, so ranks are unique): sort
+    # (io, iota) -> inv_io with io[inv_io[r]] = r... i.e. inv_io[j] is the
+    # output slot of source j; then sorting the values by inv_io delivers
+    # them to their slots.  Replaces a (B, n, n) one-hot matmul pass.
+    _, inv_io = jax.lax.sort(
+        (index_order.astype(jnp.int32), iota), dimension=1, num_keys=1
+    )
+    _, order_updated, order_original, l_o = jax.lax.sort(
+        (inv_io, u_s, o_s, l_f), dimension=1, num_keys=1
+    )
+    order_labels = l_o.astype(jnp.int8)
     hard_original = (order_original <= 0).astype(jnp.int8)
     hard_updated = (order_updated <= 0).astype(jnp.int8)
     mag_original = jnp.abs(order_original)
