@@ -86,6 +86,12 @@ def main():
                   refined, traj[:, 0], labs, h, k=code.k)
     minima = timeit("block_discrepancy_minima",
                     engine.block_discrepancy_minima, prep, teps_j, mask_j, code.k)
+    teps_c, mask_c, bounds = segments.pack_tep_chunks(blocks)
+    tc_j, mc_j = jnp.asarray(teps_c), jnp.asarray(mask_c)
+    timeit("block_minima (chunked)",
+           lambda p, t, m: engine.block_discrepancy_minima(
+               p, t, m, code.k, bounds=bounds),
+           prep, tc_j, mc_j)
     timeit("sliding_walk", engine.sliding_walk, minima[0], fcn)
 
     def full(traj, labs):
@@ -104,6 +110,9 @@ def main():
     acc_j = jnp.asarray(acc, jnp.int32)
     timeit("fused dl_osd_step", step, dia_params, traj, labs, teps_j,
            mask_j, acc_j, fcn)
+    step_c = engine.make_dl_osd_step(model, h, code.k, bounds=bounds)
+    timeit("fused dl_osd_step (chunked)", step_c, dia_params, traj, labs,
+           tc_j, mc_j, acc_j, fcn)
 
     # finer: GE alone vs the gathers in prepare
     from short_ldpc_decoding_osd_tpu.ops import gf2ops

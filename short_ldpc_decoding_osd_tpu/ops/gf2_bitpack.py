@@ -122,6 +122,17 @@ def unpack_tail_columns(packed: jnp.ndarray, n: int, k: int,
     return cols[:, :, off:off + k].astype(dtype)
 
 
+def pack_positions(bits: jnp.ndarray, nw: int) -> jnp.ndarray:
+    """(n, B) 0/1 -> (nw, B) int32: position p -> bit p%32 of word p//32."""
+    n, b = bits.shape
+    x = bits.astype(jnp.int32)
+    if nw * 32 != n:
+        x = jnp.pad(x, ((0, nw * 32 - n), (0, 0)))
+    x = x.reshape(nw, 32, b)
+    shifts = jnp.arange(32, dtype=jnp.int32)[None, :, None]
+    return jnp.sum(jnp.left_shift(x, shifts), axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("m_steps",))
 def _reduce_packed(mat: jnp.ndarray, col_order: jnp.ndarray, m_steps: int):
     """Core loop over ``m_steps`` pivots on the packed (m, nw, B) tensor."""
@@ -129,7 +140,6 @@ def _reduce_packed(mat: jnp.ndarray, col_order: jnp.ndarray, m_steps: int):
     n = col_order.shape[0]
     iota_m = jnp.arange(m, dtype=jnp.int32)[:, None]  # (m, 1)
     iota_w = jnp.arange(nw, dtype=jnp.int32)[:, None]  # (nw, 1)
-    iota_n = jnp.arange(n, dtype=jnp.int32)[:, None]  # (n, 1)
     word_of_n = jnp.asarray(np.arange(n) // 32, jnp.int32)
     bit_of_n = jnp.asarray(
         (np.int64(1) << (np.arange(n) % 32)).astype(np.int32)
@@ -137,8 +147,26 @@ def _reduce_packed(mat: jnp.ndarray, col_order: jnp.ndarray, m_steps: int):
     full = jnp.int32(-1)
     zero = jnp.int32(0)
 
+    # --- col_order as bit-plane tags -------------------------------------
+    # The order bookkeeping used to run three (n, B) passes per step (~40%
+    # of the loop, scripts/ge_probe.py "full" vs "noorder").  Instead carry
+    # the order as L = ceil(log2 n) bit-planes in the SAME packed layout as
+    # the matrix — plane l, word w, bit j, lane b = bit l of the original
+    # position currently at column 32w+j of frame b.  A column swap is then
+    # a conditional cmask XOR per plane (two (L, nw, B) passes, 13x less
+    # traffic than the dense update); the dense (n, B) order is decoded once
+    # after the loop.
+    levels = max(1, int(n - 1).bit_length())
+    tags = jnp.stack(
+        [
+            pack_positions(((col_order >> l) & 1).astype(jnp.int32), nw)
+            for l in range(levels)
+        ],
+        axis=0,
+    )  # (L, nw, B)
+
     def step(t, carry):
-        mat, col_order = carry
+        mat, tags = carry
         jw = t // 32
         jb = t % 32
         bit_t = jnp.left_shift(jnp.int32(1), jb)
@@ -197,18 +225,27 @@ def _reduce_packed(mat: jnp.ndarray, col_order: jnp.ndarray, m_steps: int):
         )
         mat = mat ^ upd
 
-        # --- col_order bookkeeping (dense ints over n sublanes) ---
-        oh_sc = (scmask[word_of_n, :] & bit_of_n) != 0  # (n, B) bool
-        oh_t = iota_n == t  # (n, 1)
-        ord_t = jax.lax.dynamic_slice_in_dim(col_order, t, 1, axis=0)  # (1, B)
-        ord_sc = jnp.sum(jnp.where(oh_sc, col_order, zero), axis=0)[None, :]
-        d_ord = jnp.where(sc_any, ord_sc - ord_t, zero)  # (1, B)
-        col_order = col_order + jnp.where(oh_t, d_ord, zero) - jnp.where(
-            oh_sc, d_ord, zero
+        # --- order-tag swap t <-> sc (conditional cmask XOR per plane) ---
+        tag_t = (
+            jax.lax.dynamic_slice_in_dim(tags, jw, 1, axis=1)[:, 0, :] & bit_t
+        ) != 0  # (L, B)
+        tag_sc = jnp.any((tags & scmask[None, :, :]) != 0, axis=1)  # (L, B)
+        diff = (tag_t ^ tag_sc) & sc_any  # (L, B): swap only where bits differ
+        tags = tags ^ (
+            cmask[None, :, :] & jnp.where(diff[:, None, :], full, zero)
         )
-        return mat, col_order
+        return mat, tags
 
-    return jax.lax.fori_loop(0, m_steps, step, (mat, col_order))
+    mat, tags = jax.lax.fori_loop(0, m_steps, step, (mat, tags))
+    # decode the planes back to the dense (n, B) order
+    planes = (tags[:, word_of_n, :] & bit_of_n[None]) != 0  # (L, n, B)
+    weights = jnp.left_shift(
+        jnp.int32(1), jnp.arange(levels, dtype=jnp.int32)
+    )[:, None, None]
+    col_order = jnp.sum(
+        jnp.where(planes, weights, 0), axis=0, dtype=jnp.int32
+    )
+    return mat, col_order
 
 
 @jax.jit

@@ -218,12 +218,13 @@ def stage_eval_sweep(cfg: RecipeConfig, run: RunDir, nms_params, model, dia_para
     """Stages 4-7: per-SNR NMS eval + DIA-OSD on failures -> total FER."""
     code = get_code(cfg.code_name)
     blocks, acc = segments.build_tep_blocks(decoding_path, code.k, cfg.num_segments)
-    teps, mask = segments.stack_padded_blocks(blocks)
+    teps, mask, bounds = segments.pack_tep_chunks(blocks)
     teps_j, mask_j = jnp.asarray(teps), jnp.asarray(mask)
     h = jnp.asarray(code.h_osd)  # full-rank basis for the OSD elimination
     fcn = stopper_engine_params(s_params)
     osd_step = engine.make_dl_osd_step(
-        model, h, code.k, window=cfg.window, soft_margin=cfg.soft_margin
+        model, h, code.k, window=cfg.window, soft_margin=cfg.soft_margin,
+        bounds=bounds,
     )
     from ..mc.harness import iteration_ber_list, iteration_ce_list
     from ..utils.profiling import JsonlLogger

@@ -58,7 +58,7 @@ def generate_stopper_samples(
     + phase (1 success, -1 failure); undetected frames are dropped (counted
     in summary), mirroring ``query_teps_dis``."""
     blocks, acc = segments.build_tep_blocks(decoding_path, code.k, num_segments)
-    teps, mask = segments.stack_padded_blocks(blocks)
+    teps, mask, bounds = segments.pack_tep_chunks(blocks)
     teps_j, mask_j = jnp.asarray(teps), jnp.asarray(mask)
     h = jnp.asarray(code.h_osd)  # full-rank basis for the OSD elimination
 
@@ -66,7 +66,9 @@ def generate_stopper_samples(
     def block_mins(traj, labs):
         refined = dia_model.refine(dia_params, traj)
         prep = engine.prepare(refined, traj[:, 0], labs, h, code.k)
-        minima, _ = engine.block_discrepancy_minima(prep, teps_j, mask_j, code.k)
+        minima, _ = engine.block_discrepancy_minima(
+            prep, teps_j, mask_j, code.k, bounds=bounds
+        )
         return minima, prep.truth_discrepancy
 
     rec_list = []

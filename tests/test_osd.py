@@ -208,3 +208,44 @@ def test_prepare_matches_gather_reference(code):
         np.asarray(prep.order_labels),
         np.asarray(gather(words.astype(np.int8))),
     )
+
+
+def test_chunked_blocks_match_padded(code):
+    """pack_tep_chunks + bounds == stack_padded_blocks, bitwise (minima,
+    argmins, and the full sliding_osd outputs)."""
+    updated, original, words = _failure_like_batch(code, 6, 23)
+    decoding_path = [[0, 0, 0, 0, 0, 0], [1, 0, 0, 0, 0, 0], [0, 1, 0, 0, 0, 0],
+                     [1, 1, 0, 0, 0, 0], [0, 0, 1, 0, 0, 0], [0, 2, 0, 0, 0, 0],
+                     [2, 1, 0, 0, 0, 0], [0, 0, 0, 1, 0, 0]]
+    blocks, acc = segments.build_tep_blocks(decoding_path, code.k)
+    teps_p, mask_p = segments.stack_padded_blocks(blocks)
+    teps_c, mask_c, bounds = segments.pack_tep_chunks(blocks, chunk=64)
+    assert sum(e - s for s, e in bounds) == int(acc[-1])
+    prep = engine.prepare(
+        jnp.asarray(updated), jnp.asarray(original), jnp.asarray(words),
+        jnp.asarray(code.h), code.k,
+    )
+    min_p, arg_p = engine.block_discrepancy_minima(
+        prep, jnp.asarray(teps_p), jnp.asarray(mask_p), code.k
+    )
+    min_c, arg_c = engine.block_discrepancy_minima(
+        prep, jnp.asarray(teps_c), jnp.asarray(mask_c), code.k, bounds=bounds
+    )
+    np.testing.assert_array_equal(np.asarray(min_c), np.asarray(min_p))
+    np.testing.assert_array_equal(np.asarray(arg_c), np.asarray(arg_p))
+
+    fcn = {
+        "w1": jnp.zeros((6, 6), jnp.float32),
+        "w2": jnp.zeros((6, 2), jnp.float32),
+    }
+    out_p = engine.sliding_osd(
+        prep, jnp.asarray(teps_p), jnp.asarray(mask_p), acc, fcn, code.k
+    )
+    out_c = engine.sliding_osd(
+        prep, jnp.asarray(teps_c), jnp.asarray(mask_c), acc, fcn, code.k,
+        bounds=bounds,
+    )
+    for key in out_p:
+        np.testing.assert_array_equal(
+            np.asarray(out_c[key]), np.asarray(out_p[key]), err_msg=key
+        )
