@@ -1,6 +1,7 @@
 from .mesh import init_multihost, make_mesh
 from .data_parallel import (
     device_seeds,
+    sharded_dl_osd_step,
     sharded_fused_mc_step,
     sharded_nms_mc_step,
     sharded_nms_train_step,
@@ -9,6 +10,7 @@ from .data_parallel import (
 
 __all__ = [
     "device_seeds",
+    "sharded_dl_osd_step",
     "init_multihost",
     "make_mesh",
     "sharded_fused_mc_step",

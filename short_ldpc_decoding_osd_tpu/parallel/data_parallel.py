@@ -265,3 +265,53 @@ def sharded_nms_train_step(
         return params, opt_state, loss
 
     return tx, step
+
+
+def sharded_dl_osd_step(
+    model,
+    h,
+    k: int,
+    mesh: Mesh,
+    window: int = 5,
+    soft_margin: float = 0.9,
+    bounds: tuple | None = None,
+):
+    """DL-OSD evaluation step with the failure batch sharded over the mesh.
+
+    Phase 2 is per-frame independent like the Monte-Carlo sweep, so the
+    whole refine -> prepare -> sliding_osd program partitions on the batch
+    axis: the TEP chunks / DIA / stopper params replicate, the per-frame
+    sort/GE/scan work shards, and the returned counters
+    ``[success, failure, total_teps, total_windows]`` reduce with psum.
+    (Reference has no distribution at all — SURVEY.md §2 "Parallel" rows.)
+
+    Returns ``step(dia_params, traj, labels, teps, mask, acc, fcn_params)``
+    -> (4,) int64 counters, replicated."""
+    from ..osd import engine
+
+    axis = mesh.axis_names[0]
+    batch_sharding = _sharding(mesh, axis)
+    replicated = _sharding(mesh)
+    h = jnp.asarray(h)
+
+    @functools.partial(jax.jit, out_shardings=replicated)
+    def step(dia_params, traj, labels, teps, mask, acc, fcn_params):
+        traj = jax.lax.with_sharding_constraint(traj, batch_sharding)
+        labels = jax.lax.with_sharding_constraint(labels, batch_sharding)
+        refined = model.refine_fast(dia_params, traj)
+        prep = engine.prepare(refined, traj[:, 0], labels, h, k)
+        out = engine.sliding_osd(
+            prep, teps, mask, acc, fcn_params, k,
+            window=window, soft_margin=soft_margin, bounds=bounds,
+        )
+        succ = out["success"]
+        return jnp.stack(
+            [
+                jnp.sum(succ.astype(jnp.int64)),
+                jnp.sum((~succ).astype(jnp.int64)),
+                jnp.sum(out["complexity"].astype(jnp.int64)),
+                jnp.sum(out["windows_evaluated"].astype(jnp.int64)),
+            ]
+        )
+
+    return step

@@ -161,3 +161,58 @@ def test_harness_mesh_uses_fused_kernels(monkeypatch, code):
     )
     assert stats.frame_errors == expect
     assert stats.detected_failures == expect
+
+
+def test_sharded_dl_osd_step_matches_single_device(code):
+    """The mesh OSD step's psum'd counters equal the single-device
+    sliding_osd reduction on the same batch."""
+    import jax.numpy as jnp
+
+    from short_ldpc_decoding_osd_tpu.models import make_dia
+    from short_ldpc_decoding_osd_tpu.osd import engine, segments
+    from short_ldpc_decoding_osd_tpu.parallel import sharded_dl_osd_step
+
+    rng = np.random.default_rng(5)
+    b, t = 16, 6
+    model = make_dia("model_cnn", code.n, t + 1)
+    dia_params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((code.n, t + 1, 1))
+    )
+    msgs = rng.integers(0, 2, (b, code.k))
+    words = (msgs @ code.g % 2).astype(np.int8)
+    noise = rng.normal(1.0, 0.9, (b, t + 1, code.n))
+    traj = jnp.asarray(
+        np.where(words[:, None, :] == 0, noise, -noise), jnp.float32
+    )
+    labs = jnp.asarray(words)
+
+    path = [[0, 0, 0, 0, 0, 0], [1, 0, 0, 0, 0, 0], [0, 1, 0, 0, 0, 0],
+            [1, 1, 0, 0, 0, 0], [0, 0, 1, 0, 0, 0]]
+    blocks, acc = segments.build_tep_blocks(path, code.k)
+    teps, mask, bounds = segments.pack_tep_chunks(blocks, chunk=64)
+    teps_j, mask_j = jnp.asarray(teps), jnp.asarray(mask)
+    acc_j = jnp.asarray(acc, jnp.int32)
+    fcn = {
+        "w1": jnp.asarray(rng.normal(0, 0.3, (6, 6)), jnp.float32),
+        "w2": jnp.asarray(rng.normal(0, 0.3, (6, 2)), jnp.float32),
+    }
+
+    refined = model.refine_fast(dia_params, traj)
+    prep = engine.prepare(refined, traj[:, 0], labs, jnp.asarray(code.h),
+                          code.k)
+    ref = engine.sliding_osd(prep, teps_j, mask_j, acc_j, fcn, code.k,
+                             bounds=bounds)
+    want = np.array([
+        int(np.asarray(ref["success"]).sum()),
+        b - int(np.asarray(ref["success"]).sum()),
+        int(np.asarray(ref["complexity"]).sum()),
+        int(np.asarray(ref["windows_evaluated"]).sum()),
+    ])
+
+    mesh = make_mesh(8)
+    with mesh:
+        step = sharded_dl_osd_step(model, code.h, code.k, mesh, bounds=bounds)
+        got = np.asarray(
+            step(dia_params, traj, labs, teps_j, mask_j, acc_j, fcn)
+        )
+    np.testing.assert_array_equal(got, want)
