@@ -22,12 +22,18 @@ no-pivot/no-swap steps are a no-op, matching ``gf2_pallas``).  Pure XLA —
 the packed tensor for 4096 CCSDS frames is 4 MB, so the per-step HBM
 round-trip costs microseconds and no Pallas kernel is needed.
 
-Measured on v5e (B=4096, CCSDS): 5.2 ms vs 50 ms for the f32 Pallas kernel;
-scales to ~780k frames/s.  A VMEM-resident Pallas twin of this layout was
-tried and REJECTED: Mosaic lowered the sublane folds/masked selects ~2x
-slower than XLA's fusion of the same ops (11 ms), and the compiler crashed
-outright at >=2048-lane blocks.  Loop unrolling (2/4/8) does not help — the
-per-step cost is the elimination dependency chain, not loop overhead.
+Measured on v5e (B=4096, CCSDS): the elimination loop is ~2 ms (vs 50 ms
+for the f32 Pallas kernel); the full identify_mrb with MXU-packed input
+(``pack_permuted``), tail-only unpack and bit-plane order tags is ~6 ms —
+see scripts/ge_probe.py and scripts/packing_probe.py for the per-component
+attribution that drove the round-3 redesign (the wrapper was
+data-movement-bound: dense permute/pack/unpack passes cost ~2 ms EACH, and
+the dense (n, B) order bookkeeping was ~40% of the loop).  A VMEM-resident
+Pallas twin of this layout was tried and REJECTED: Mosaic lowered the
+sublane folds/masked selects ~2x slower than XLA's fusion of the same ops
+(11 ms), and the compiler crashed outright at >=2048-lane blocks.  Loop
+unrolling (2/4/8) does not help — the remaining per-step cost is the
+elimination dependency chain's HBM traffic, not loop overhead.
 """
 
 from __future__ import annotations
