@@ -34,11 +34,11 @@ MODE = os.environ.get("BENCH_MODE", "bf16")
 # in compact_overflow (0 at this operating point).
 KERNEL = os.environ.get("BENCH_KERNEL", "compact")
 T1 = int(os.environ.get("BENCH_T1", 4))
-FRAC = float(os.environ.get("BENCH_FRAC", 0.40625))
+FRAC = float(os.environ.get("BENCH_FRAC", 0.375))
 ITERS = int(os.environ.get("BENCH_ITERS", 12))
 SNR_DB = float(os.environ.get("BENCH_SNR", 3.0))
-STEPS = int(os.environ.get("BENCH_STEPS", 4))
-BLOCK = int(os.environ.get("BENCH_BLOCK", 512))
+STEPS = int(os.environ.get("BENCH_STEPS", 8))
+BLOCK = int(os.environ.get("BENCH_BLOCK", 1024))
 CPU_BATCH = int(os.environ.get("BENCH_CPU_BATCH", 512))
 CPU_REPS = int(os.environ.get("BENCH_CPU_REPS", 3))
 
