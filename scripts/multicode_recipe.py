@@ -35,7 +35,9 @@ from short_ldpc_decoding_osd_tpu.pipeline.recipe import RecipeConfig, run_recipe
 # (code, snr range, nms error budget, osd failures, train failures)
 PLANS = {
     "regular_256_128": ("2.0:3.0:3", 8000, 200, 6000),
-    "array_121_60": ("2.0:3.5:4", 8000, 200, 6000),
+    # 600 OSD failures/point: at 200 the 2.5 vs 3.0 dB points inverted from
+    # small-sample noise (2 vs 4 failures)
+    "array_121_60": ("2.0:3.5:4", 8000, 600, 6000),
 }
 
 
