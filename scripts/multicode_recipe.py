@@ -78,7 +78,11 @@ def main():
         }
         print(json.dumps(summary[name]), flush=True)
     os.makedirs(args.out_root, exist_ok=True)
-    with open(os.path.join(args.out_root, "summary.json"), "wt") as fh:
+    path = os.path.join(args.out_root, "summary.json")
+    if os.path.exists(path):  # merge: partial --codes runs must not clobber
+        with open(path) as fh:
+            summary = {**json.load(fh), **summary}
+    with open(path, "wt") as fh:
         json.dump(summary, fh, indent=1)
 
 

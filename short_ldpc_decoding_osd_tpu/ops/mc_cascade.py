@@ -122,11 +122,12 @@ def _counter_tile(bt, frames, frame_err, bit_err, detected, undetected):
     return jnp.where(row == 0, vals, 0.0)
 
 
-def _phase1_kernel(dc, t1, sigma, mean, mode, slab_has_dummy,
+def _phase1_kernel(dc, t1, mode, slab_has_dummy,
                    scalars_ref, scat_ref, gath_ref, bias_ref, h_ref, g_ref,
                    out_ref, flag_ref, cv_ref):
     seed = scalars_ref[0].astype(jnp.int32)
     w_vc, w_chk, w_marg = scalars_ref[1], scalars_ref[2], scalars_ref[3]
+    sigma, mean = scalars_ref[4], scalars_ref[5]  # SMEM: no per-SNR recompiles
     h = h_ref[:]
     g = g_ref[:]
     k, n = g.shape
@@ -154,11 +155,12 @@ def _phase1_kernel(dc, t1, sigma, mean, mode, slab_has_dummy,
     flag_ref[:] = unconv
 
 
-def _phase2_kernel(dc, t, sigma, mean, mode, slab_has_dummy,
+def _phase2_kernel(dc, t, mode, slab_has_dummy,
                    scalars_ref, scat_ref, gath_ref, bias_ref, h_ref, g_ref,
                    ids_ref, out_ref, cv_ref):
     seed = scalars_ref[0].astype(jnp.int32)
     w_vc, w_chk, w_marg = scalars_ref[1], scalars_ref[2], scalars_ref[3]
+    sigma, mean = scalars_ref[4], scalars_ref[5]  # SMEM: no per-SNR recompiles
     h = h_ref[:]
     g = g_ref[:]
     k, n = g.shape
@@ -195,7 +197,7 @@ def _common_specs(edges, n, m, g_shape, block):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("t1", "batch", "sigma", "mean", "block_frames",
+    static_argnames=("t1", "batch", "block_frames",
                      "interpret", "mode", "slab_has_dummy"),
 )
 def _phase1_jit(params_vec, scatter, gather, bias, h, g, t1, batch, sigma,
@@ -204,7 +206,12 @@ def _phase1_jit(params_vec, scatter, gather, bias, h, g, t1, batch, sigma,
     m = h.shape[0]
     dc = edges // m
     grid = (batch // block_frames,)
-    kernel = functools.partial(_phase1_kernel, dc, t1, sigma, mean, mode,
+    params_vec = jnp.concatenate([
+        params_vec.astype(jnp.float32),
+        jnp.stack([jnp.asarray(sigma, jnp.float32),
+                   jnp.asarray(mean, jnp.float32)]),
+    ])
+    kernel = functools.partial(_phase1_kernel, dc, t1, mode,
                                slab_has_dummy)
     counters, flags = pl.pallas_call(
         kernel,
@@ -229,7 +236,7 @@ def _phase1_jit(params_vec, scatter, gather, bias, h, g, t1, batch, sigma,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("t", "cap", "sigma", "mean", "block_frames",
+    static_argnames=("t", "cap", "block_frames",
                      "interpret", "mode", "slab_has_dummy"),
 )
 def _phase2_jit(params_vec, scatter, gather, bias, h, g, ids, t, cap, sigma,
@@ -238,7 +245,12 @@ def _phase2_jit(params_vec, scatter, gather, bias, h, g, ids, t, cap, sigma,
     m = h.shape[0]
     dc = edges // m
     grid = (cap // block_frames,)
-    kernel = functools.partial(_phase2_kernel, dc, t, sigma, mean, mode,
+    params_vec = jnp.concatenate([
+        params_vec.astype(jnp.float32),
+        jnp.stack([jnp.asarray(sigma, jnp.float32),
+                   jnp.asarray(mean, jnp.float32)]),
+    ])
+    kernel = functools.partial(_phase2_kernel, dc, t, mode,
                                slab_has_dummy)
     specs = _common_specs(edges, n, m, g.shape, block_frames)
     specs.append(
@@ -261,7 +273,7 @@ def _phase2_jit(params_vec, scatter, gather, bias, h, g, ids, t, cap, sigma,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("t1", "t", "batch", "cap", "sigma", "mean",
+    static_argnames=("t1", "t", "batch", "cap",
                      "block_frames", "interpret", "mode", "slab_has_dummy"),
 )
 def _cascade_jit(params_vec, scatter, gather, bias, h, g, t1, t, batch, cap,

@@ -110,17 +110,19 @@ def _sample_msg_and_normals(bt: int, n: int, k: int):
 
 def _mc_kernel(
     num_iterations: int,
-    sigma: float,
-    mean: float,
     seed_ref,  # SMEM int32 (1,): exact seed (an f32 lane would round > 2^24,
     # which the sharded per-device seed striding reaches quickly)
-    weights_ref,  # SMEM f32: [w_vc, w_chk, w_marg]
+    weights_ref,  # SMEM f32: [w_vc, w_chk, w_marg, sigma, mean] — sigma/mean
+    # ride SMEM instead of being baked in as constants so one compile serves
+    # every SNR point of a sweep (bitwise-identical arithmetic)
     h_ref,  # (m, n)
     g_ref,  # (k, n)
     out_ref,  # (1, 8, 128) counter tile; row 0 lanes 0..4 hold
     # [frames, frame_err, bit_err, detected, undetected]
     cv_ref,  # scratch (bt, m, n)
 ):
+    sigma = weights_ref[3]
+    mean = weights_ref[4]
     w_vc = weights_ref[0]
     w_chk = weights_ref[1]
     w_marg = weights_ref[2]
@@ -198,9 +200,7 @@ def _mc_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "num_iterations", "batch", "block_frames", "sigma", "mean", "interpret"
-    ),
+    static_argnames=("num_iterations", "batch", "block_frames", "interpret"),
 )
 def mc_fused(
     weights_vec: jnp.ndarray,  # [w_vc, w_chk, w_marg] float32
@@ -209,8 +209,8 @@ def mc_fused(
     g: jnp.ndarray,
     num_iterations: int,
     batch: int,
-    sigma: float,
-    mean: float = 1.0,
+    sigma,  # traced: NOT a compile-time constant (one compile per sweep)
+    mean=1.0,
     block_frames: int = 32,
     interpret: bool = False,
 ):
@@ -218,7 +218,12 @@ def mc_fused(
     [frames, frame_errors, bit_errors, detected, undetected]."""
     m, n = h.shape
     grid = (batch // block_frames,)
-    kernel = functools.partial(_mc_kernel, num_iterations, sigma, mean)
+    kernel = functools.partial(_mc_kernel, num_iterations)
+    weights_vec = jnp.concatenate([
+        weights_vec.astype(jnp.float32),
+        jnp.stack([jnp.asarray(sigma, jnp.float32),
+                   jnp.asarray(mean, jnp.float32)]),
+    ])
     seed_arr = jnp.asarray(seed, jnp.int32).reshape((1,))
     per_block = pl.pallas_call(
         kernel,

@@ -385,13 +385,16 @@ def _decode_final_edge_jit(params, scatter, gather, bias, h, llr,
       llr.astype(jnp.float32))
 
 
-def _mc_kernel(dc, num_iterations, sigma, mean, mode, slab_has_dummy,
+def _mc_kernel(dc, num_iterations, mode, slab_has_dummy,
                seed_ref,  # SMEM int32 (1,) — exact (f32 rounds > 2^24, which
                # the sharded per-device seed striding reaches quickly)
-               weights_ref,  # SMEM f32: [w_vc, w_chk, w_marg]
+               weights_ref,  # SMEM f32: [w_vc, w_chk, w_marg, sigma, mean]
+               # (sigma/mean in SMEM: one compile serves every SNR point)
                scat_ref, gath_ref, bias_ref, h_ref, g_ref,
                out_ref,  # (1, 8, 128) counter tile (same layout as mc_pallas)
                cv_ref):
+    sigma = weights_ref[3]
+    mean = weights_ref[4]
     w_vc = weights_ref[0]
     w_chk = weights_ref[1]
     w_marg = weights_ref[2]
@@ -467,7 +470,7 @@ def mc_fused_edge(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_iterations", "batch", "sigma", "mean", "block_frames", "interpret",
+        "num_iterations", "batch", "block_frames", "interpret",
         "mode", "slab_has_dummy",
     ),
 )
@@ -480,7 +483,12 @@ def _mc_fused_edge_jit(weights_vec, seed_arr, scatter, gather, bias, h, g,
     if batch % block_frames:
         raise ValueError(f"batch {batch} not a multiple of {block_frames}")
     grid = (batch // block_frames,)
-    kernel = functools.partial(_mc_kernel, dc, num_iterations, sigma, mean,
+    weights_vec = jnp.concatenate([
+        weights_vec.astype(jnp.float32),
+        jnp.stack([jnp.asarray(sigma, jnp.float32),
+                   jnp.asarray(mean, jnp.float32)]),
+    ])
+    kernel = functools.partial(_mc_kernel, dc, num_iterations,
                                mode, slab_has_dummy)
     per_block = pl.pallas_call(
         kernel,
@@ -568,7 +576,7 @@ def _scatter_dot(ct, y, mode):
     )
 
 
-def _mc_schedule_kernel(dc, schedule, final_iters, sigma, mean, mode,
+def _mc_schedule_kernel(dc, schedule, final_iters, mode,
                         slab_has_dummy,
                         seed_ref, weights_ref, scat_ref, gath_ref, bias_ref,
                         h_ref, g_ref, out_ref, *cv_refs):
@@ -590,6 +598,8 @@ def _mc_schedule_kernel(dc, schedule, final_iters, sigma, mean, mode,
     (summed over stages; judged at the stage check).  ``cv_refs`` holds one
     message scratch per nesting level: (block, edges), (rows_1, edges), ...
     """
+    sigma = weights_ref[3]
+    mean = weights_ref[4]
     w_vc = weights_ref[0]
     w_chk = weights_ref[1]
     w_marg = weights_ref[2]
@@ -682,7 +692,7 @@ def _mc_schedule_kernel(dc, schedule, final_iters, sigma, mean, mode,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "schedule", "final_iters", "batch", "sigma", "mean", "block_frames",
+        "schedule", "final_iters", "batch", "block_frames",
         "interpret", "mode", "slab_has_dummy",
     ),
 )
@@ -701,8 +711,13 @@ def _mc_schedule_jit(weights_vec, seed_arr, scatter, gather, bias, h, g,
                              f"got {schedule}")
         rows_prev = rows_i
     grid = (batch // block_frames,)
+    weights_vec = jnp.concatenate([
+        weights_vec.astype(jnp.float32),
+        jnp.stack([jnp.asarray(sigma, jnp.float32),
+                   jnp.asarray(mean, jnp.float32)]),
+    ])
     kernel = functools.partial(_mc_schedule_kernel, dc, schedule, final_iters,
-                               sigma, mean, mode, slab_has_dummy)
+                               mode, slab_has_dummy)
     per_block = pl.pallas_call(
         kernel,
         grid=grid,
