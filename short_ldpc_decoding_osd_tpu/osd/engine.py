@@ -215,7 +215,79 @@ def sliding_walk(
     window: int = 5,
     soft_margin: float = 0.9,
 ):
-    """Replay the serial sliding-window walk for all frames in parallel.
+    """Replay the serial sliding-window walk — fully vectorized.
+
+    The serial state is positional in disguise: the window at step kk is
+    always ``blocks[kk:kk+window]`` (it only freezes after the outputs are
+    already determined), and the running global min is a PREFIX MIN — a
+    skipped step has ``new_block > gmin`` so ``min(gmin, new_block)`` would
+    not have changed it anyway.  Hence: one batched FCN matmul over all
+    windows, a cummin for the skip rule, and first-true reductions — no
+    scan.  Bit-exact vs the reference scan replay
+    (``_sliding_walk_scan``, kept as the test oracle).
+
+    Semantics of ``sliding_osd``'s loop (``:191-219``): the window holds the
+    last ``window`` block minima; at step kk (0-based), if kk > 0 and the new
+    block's minimum exceeds the current global minimum the stopper is skipped;
+    otherwise the sorted window + position index feeds the FCN and decoding
+    stops when P[stop] > soft_margin.  Returns for every frame:
+
+      stop_k: (B,) index kk at which the walk stopped (or last step),
+      deep_limit: (B,) number of blocks actually expanded (kk + window),
+      global_min: (B,) the running minimum at the stop point,
+      windows_evaluated: (B,) count of FCN evaluations.
+    """
+    batch, num_blocks = block_minima.shape
+    steps = num_blocks - window + 1
+    # (B, steps, window) sliding view via static gather indices
+    idx = np.arange(steps)[:, None] + np.arange(window)[None, :]
+    wins = block_minima[:, idx]  # (B, steps, window)
+    sorted_wins = jnp.sort(wins, axis=2)
+    kks = jnp.arange(steps, dtype=jnp.float32)
+    feats = jnp.concatenate(
+        [sorted_wins, jnp.broadcast_to(kks[None, :, None], (batch, steps, 1))],
+        axis=2,
+    )
+    probs = stopper_apply(fcn_params, feats.reshape(batch * steps, window + 1))
+    fire = probs[:, 1].reshape(batch, steps) > soft_margin
+
+    cmin = jax.lax.cummin(block_minima, axis=1)  # prefix minima
+    # skip(kk>0) = blocks[window-1+kk] > gmin_after_step_{kk-1}
+    #            = blocks[window-1+kk] > cmin[window+kk-2]
+    new_blocks = block_minima[:, window:]  # kk = 1..steps-1
+    skip_tail = new_blocks > cmin[:, window - 1:-1]
+    skip = jnp.concatenate(
+        [jnp.zeros((batch, 1), bool), skip_tail], axis=1
+    )  # (B, steps)
+
+    cand = jnp.logical_and(jnp.logical_not(skip), fire)
+    any_fire = jnp.any(cand, axis=1)
+    first = jnp.argmax(cand, axis=1).astype(jnp.int32)
+    stop_k = jnp.where(any_fire, first, jnp.int32(steps - 1))
+    deep_limit = stop_k + window
+    evals = jnp.take_along_axis(
+        jnp.cumsum(jnp.logical_not(skip).astype(jnp.int32), axis=1),
+        stop_k[:, None], axis=1,
+    )[:, 0]
+    gmin = jnp.take_along_axis(cmin, (deep_limit - 1)[:, None], axis=1)[:, 0]
+    return {
+        "stop_k": stop_k,
+        "deep_limit": deep_limit,
+        "global_min": gmin,
+        "windows_evaluated": evals,
+        "window_num": stop_k + 1,
+    }
+
+
+@partial(jax.jit, static_argnames=("window", "soft_margin"))
+def _sliding_walk_scan(
+    block_minima: jnp.ndarray,
+    fcn_params: dict,
+    window: int = 5,
+    soft_margin: float = 0.9,
+):
+    """Reference scan replay of the serial walk (test oracle for
+    :func:`sliding_walk`).
 
     Semantics of ``sliding_osd``'s loop (``:191-219``): the window holds the
     last ``window`` block minima; at step kk (0-based), if kk > 0 and the new

@@ -249,3 +249,26 @@ def test_chunked_blocks_match_padded(code):
         np.testing.assert_array_equal(
             np.asarray(out_c[key]), np.asarray(out_p[key]), err_msg=key
         )
+
+
+def test_vectorized_walk_matches_scan_oracle():
+    """sliding_walk (one-matmul vectorized) == _sliding_walk_scan (serial
+    replay) on random minima and stopper weights, all outputs."""
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        b, p, w = 64, 30, 5
+        minima = jnp.asarray(rng.gamma(2.0, 5.0, (b, p)), jnp.float32)
+        fcn = {
+            "w1": jnp.asarray(rng.normal(0, 0.5, (w + 1, w + 1)), jnp.float32),
+            "w2": jnp.asarray(rng.normal(0, 0.5, (w + 1, 2)), jnp.float32),
+        }
+        margin = [0.9, 0.5, 0.99][trial % 3]
+        got = engine.sliding_walk(minima, fcn, window=w, soft_margin=margin)
+        want = engine._sliding_walk_scan(
+            minima, fcn, window=w, soft_margin=margin
+        )
+        for key in want:
+            np.testing.assert_array_equal(
+                np.asarray(got[key]), np.asarray(want[key]),
+                err_msg=f"{key} trial {trial}",
+            )
