@@ -38,17 +38,26 @@ MODES = os.environ.get("FER_MODES", "split,bf16").split(",")
 def compare_env(spec):
     """Run this script once per env value in subprocesses and z-test."""
     name, values = spec.split("=")
+    vals = values.split(",")
+    if len(vals) != 2 or vals[0] == vals[1]:
+        raise SystemExit(f"--compare-env needs exactly 2 distinct values, "
+                         f"got {vals}")
     results = {}
-    for val in values.split(","):
+    for val in vals:
         env = dict(os.environ, **{name: val, "FER_MODES": MODES[0]})
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         m = re.search(r"frames=(\d+) errors=(\d+)", out)
+        if m is None:
+            raise SystemExit(
+                f"{name}={val}: no 'frames=... errors=...' line in output:\n"
+                f"{out}"
+            )
         results[val] = (int(m.group(1)), int(m.group(2)))
         print(f"{name}={val}: {out.strip().splitlines()[-1]}", flush=True)
-    (n1, e1), (n2, e2) = list(results.values())[:2]
+    (n1, e1), (n2, e2) = list(results.values())
     p = (e1 + e2) / (n1 + n2)
     z = (e1 / n1 - e2 / n2) / np.sqrt(p * (1 - p) * (1 / n1 + 1 / n2))
     print(f"two-proportion z = {z:+.2f}  "

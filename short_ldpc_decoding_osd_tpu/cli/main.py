@@ -269,6 +269,15 @@ def _baseline_failures(args, code, params, run, snr):
         "failure_budget": args.failure_budget,
         "variant": args.variant,
         "iterations": args.iterations,
+        # without these, retraining NMS (or switching --code) in the same
+        # run dir would silently reuse failures captured under a DIFFERENT
+        # decoder/code
+        "code": code.name,
+        # list-of-lists (not tuples): the key must survive a JSON round trip
+        "params": [
+            [k2, np.round(np.asarray(params[k2]), 7).tolist()]
+            for k2 in sorted(params)
+        ],
     }
     tag = f"baseline_failures_{float(snr):.2f}dB"
     if run.has(tag + ".json"):

@@ -62,6 +62,11 @@ def _kernel_error_kind(e: Exception) -> str:
     ):
         return "demote"
     if "xlaruntimeerror" in type(e).__name__.lower():
+        # INVALID_ARGUMENT is a programming error (bad runtime shape/buffer),
+        # not an infra hiccup — surface it instead of silently demoting the
+        # whole sweep to the ~25x-slower XLA step
+        if "invalid_argument" in msg or "invalid argument" in msg:
+            return "raise"
         return "demote"
     return "raise"
 

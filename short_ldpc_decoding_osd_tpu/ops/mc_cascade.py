@@ -123,11 +123,11 @@ def _counter_tile(bt, frames, frame_err, bit_err, detected, undetected):
 
 
 def _phase1_kernel(dc, t1, mode, slab_has_dummy,
-                   scalars_ref, scat_ref, gath_ref, bias_ref, h_ref, g_ref,
-                   out_ref, flag_ref, cv_ref):
-    seed = scalars_ref[0].astype(jnp.int32)
-    w_vc, w_chk, w_marg = scalars_ref[1], scalars_ref[2], scalars_ref[3]
-    sigma, mean = scalars_ref[4], scalars_ref[5]  # SMEM: no per-SNR recompiles
+                   seed_ref, scalars_ref, scat_ref, gath_ref, bias_ref,
+                   h_ref, g_ref, out_ref, flag_ref, cv_ref):
+    seed = seed_ref[0]  # SMEM int32: exact (an f32 lane rounds > 2^24)
+    w_vc, w_chk, w_marg = scalars_ref[0], scalars_ref[1], scalars_ref[2]
+    sigma, mean = scalars_ref[3], scalars_ref[4]  # SMEM: no per-SNR recompiles
     h = h_ref[:]
     g = g_ref[:]
     k, n = g.shape
@@ -156,11 +156,11 @@ def _phase1_kernel(dc, t1, mode, slab_has_dummy,
 
 
 def _phase2_kernel(dc, t, mode, slab_has_dummy,
-                   scalars_ref, scat_ref, gath_ref, bias_ref, h_ref, g_ref,
-                   ids_ref, out_ref, cv_ref):
-    seed = scalars_ref[0].astype(jnp.int32)
-    w_vc, w_chk, w_marg = scalars_ref[1], scalars_ref[2], scalars_ref[3]
-    sigma, mean = scalars_ref[4], scalars_ref[5]  # SMEM: no per-SNR recompiles
+                   seed_ref, scalars_ref, scat_ref, gath_ref, bias_ref,
+                   h_ref, g_ref, ids_ref, out_ref, cv_ref):
+    seed = seed_ref[0]  # SMEM int32: exact (an f32 lane rounds > 2^24)
+    w_vc, w_chk, w_marg = scalars_ref[0], scalars_ref[1], scalars_ref[2]
+    sigma, mean = scalars_ref[3], scalars_ref[4]  # SMEM: no per-SNR recompiles
     h = h_ref[:]
     g = g_ref[:]
     k, n = g.shape
@@ -186,7 +186,8 @@ def _phase2_kernel(dc, t, mode, slab_has_dummy,
 
 def _common_specs(edges, n, m, g_shape, block):
     return [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (int32)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # weights + sigma/mean
         pl.BlockSpec((edges, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((n, edges), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, edges), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -200,7 +201,7 @@ def _common_specs(edges, n, m, g_shape, block):
     static_argnames=("t1", "batch", "block_frames",
                      "interpret", "mode", "slab_has_dummy"),
 )
-def _phase1_jit(params_vec, scatter, gather, bias, h, g, t1, batch, sigma,
+def _phase1_jit(seed_arr, params_vec, scatter, gather, bias, h, g, t1, batch, sigma,
                 mean, block_frames, interpret, mode, slab_has_dummy):
     edges, n = scatter.shape
     m = h.shape[0]
@@ -229,7 +230,7 @@ def _phase1_jit(params_vec, scatter, gather, bias, h, g, t1, batch, sigma,
         ),
         scratch_shapes=[pltpu.VMEM((block_frames, edges), jnp.float32)],
         interpret=interpret,
-    )(params_vec, jnp.asarray(scatter), jnp.asarray(gather),
+    )(seed_arr, params_vec, jnp.asarray(scatter), jnp.asarray(gather),
       jnp.asarray(bias), jnp.asarray(h), jnp.asarray(g))
     return jnp.sum(counters[:, 0, :5], axis=0), flags
 
@@ -239,7 +240,7 @@ def _phase1_jit(params_vec, scatter, gather, bias, h, g, t1, batch, sigma,
     static_argnames=("t", "cap", "block_frames",
                      "interpret", "mode", "slab_has_dummy"),
 )
-def _phase2_jit(params_vec, scatter, gather, bias, h, g, ids, t, cap, sigma,
+def _phase2_jit(seed_arr, params_vec, scatter, gather, bias, h, g, ids, t, cap, sigma,
                 mean, block_frames, interpret, mode, slab_has_dummy):
     edges, n = scatter.shape
     m = h.shape[0]
@@ -266,7 +267,7 @@ def _phase2_jit(params_vec, scatter, gather, bias, h, g, ids, t, cap, sigma,
         out_shape=jax.ShapeDtypeStruct((grid[0], 8, 128), jnp.float32),
         scratch_shapes=[pltpu.VMEM((block_frames, edges), jnp.float32)],
         interpret=interpret,
-    )(params_vec, jnp.asarray(scatter), jnp.asarray(gather),
+    )(seed_arr, params_vec, jnp.asarray(scatter), jnp.asarray(gather),
       jnp.asarray(bias), jnp.asarray(h), jnp.asarray(g), ids)
     return jnp.sum(counters[:, 0, :5], axis=0)
 
@@ -276,15 +277,15 @@ def _phase2_jit(params_vec, scatter, gather, bias, h, g, ids, t, cap, sigma,
     static_argnames=("t1", "t", "batch", "cap",
                      "block_frames", "interpret", "mode", "slab_has_dummy"),
 )
-def _cascade_jit(params_vec, scatter, gather, bias, h, g, t1, t, batch, cap,
+def _cascade_jit(seed_arr, params_vec, scatter, gather, bias, h, g, t1, t, batch, cap,
                  sigma, mean, block_frames, interpret, mode, slab_has_dummy):
     c1, flags = _phase1_jit(
-        params_vec, scatter, gather, bias, h, g, t1, batch, sigma, mean,
+        seed_arr, params_vec, scatter, gather, bias, h, g, t1, batch, sigma, mean,
         block_frames, interpret, mode, slab_has_dummy,
     )
     (ids,) = jnp.nonzero(flags[:, 0] > 0.5, size=cap, fill_value=-1)
     c2 = _phase2_jit(
-        params_vec, scatter, gather, bias, h, g,
+        seed_arr, params_vec, scatter, gather, bias, h, g,
         ids.astype(jnp.int32)[:, None], t, cap, sigma, mean, block_frames,
         interpret, mode, slab_has_dummy,
     )
@@ -307,17 +308,18 @@ def cascade_counters(code, params, variant, num_iterations, snr_db, batch,
     from .nms import _weights
 
     w_vc, w_chk, w_marg = _weights(params, variant)
-    vec = jnp.stack([jnp.float32(seed), w_vc, w_chk, w_marg]).astype(jnp.float32)
+    vec = jnp.stack([w_vc, w_chk, w_marg]).astype(jnp.float32)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape((1,))
     scatter, gather, bias, slab_has_dummy = edge_layout_stacked(code.h)
     h32 = np.asarray(code.h, np.float32)
     g32 = np.asarray(code.g, np.float32)
     sigma = float(sigma_for_snr(snr_db, code.rate))
-    args = (vec, scatter, gather, bias, h32, g32)
+    args = (seed_arr, vec, scatter, gather, bias, h32, g32)
     kw = dict(sigma=sigma, mean=1.0, block_frames=block_frames,
               interpret=interpret, mode=mode, slab_has_dummy=slab_has_dummy)
 
     key = (code.name, variant, t1, round(float(snr_db), 3),
-           tuple(np.round(np.asarray(vec[1:]), 5).tolist()))
+           tuple(np.round(np.asarray(vec), 5).tolist()))
     frac = _CAP_CACHE.get(key)
     if frac is None:
         calib = min(batch, 131072)

@@ -239,6 +239,13 @@ def sliding_walk(
     """
     batch, num_blocks = block_minima.shape
     steps = num_blocks - window + 1
+    if steps < 1:
+        # the scan replay "completed" here but indexed acc[] out of range
+        # downstream (silently wrong complexity); fail loudly instead
+        raise ValueError(
+            f"decoding path has {num_blocks} blocks < window {window}; "
+            "shorten the window or lengthen the path"
+        )
     # (B, steps, window) sliding view via static gather indices
     idx = np.arange(steps)[:, None] + np.arange(window)[None, :]
     wins = block_minima[:, idx]  # (B, steps, window)

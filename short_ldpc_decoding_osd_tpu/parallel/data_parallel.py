@@ -60,8 +60,10 @@ def sharded_nms_mc_step(
         words = jax.lax.with_sharding_constraint(words, batch_sharding)
         outs = nms.decode(params, h, llr, num_iterations, variant, edge_cols)
         st = nms.frame_stats(outs[-1], words, h)
-        # int64 like the single-device step (harness.py): int32 would
-        # silently overflow past 2^31 frames/step on big pods
+        # int64 REQUESTED like the single-device step (harness.py);
+        # without jax_enable_x64 JAX truncates these to int32 (warns at
+        # trace), so >2^31-per-step pods must also set JAX_ENABLE_X64 —
+        # the dtype request makes that a flag flip, not a code change
         return jnp.stack(
             [
                 jnp.asarray(total_batch, jnp.int64),
@@ -161,6 +163,27 @@ def sharded_fused_mc_step(
         "xla": None,
         "programs": {},  # ladder rung -> compiled shard_map program
     }
+    # Error-driven demotion is HOST-LOCAL state: on a multi-process pod, one
+    # host demoting while another stays on the fused rung issues DIFFERENT
+    # collective programs in the same step — a deadlock in JAX's
+    # multi-controller model.  (Overflow-driven compact->one-shot demotion is
+    # safe: it reads a psum'd, replicated counter, so every host agrees.)
+    # With >1 process, kernel errors therefore RAISE instead of demoting;
+    # pre-pin a rung uniformly via SLDPC_MESH_RUNG=compact|oneshot|xla.
+    import os
+
+    multiproc = jax.process_count() > 1
+    rung = os.environ.get("SLDPC_MESH_RUNG")
+    if rung == "oneshot":
+        state["compact"] = False
+    elif rung == "xla":
+        state["compact"] = False
+        state["eblock"] = 0
+
+    def _attempt(call, desc):
+        if multiproc:
+            return "ok", call()  # raise on error: see comment above
+        return _attempt_fused(call, desc)
 
     def _compact_program():
         if "compact" not in state["programs"]:
@@ -191,7 +214,7 @@ def sharded_fused_mc_step(
         if state["xla"] is not None:
             return np.asarray(state["xla"](params, key)), None
         if state["compact"]:
-            status, c = _attempt_fused(
+            status, c = _attempt(
                 lambda: np.asarray(_compact_program()(params, seeds)),
                 f"sharded compact MC kernel ({n_dev} devices)",
             )
@@ -199,7 +222,7 @@ def sharded_fused_mc_step(
                 return c[:5], None
             state["compact"] = False
         while state["eblock"] >= 8:
-            status, c = _attempt_fused(
+            status, c = _attempt(
                 lambda: np.asarray(
                     _oneshot_program(state["eblock"])(params, seeds)
                 ),
