@@ -119,8 +119,12 @@ def main():
     perm, h_p = jax.jit(gf2ops.reliability_sort)(refined, h)
     sync(h_p)
     timeit("reliability_sort", jax.jit(gf2ops.reliability_sort), refined, h)
-    timeit("identify_mrb (GE)", jax.jit(gf2ops.identify_mrb,
-                                        static_argnames=("k",)), h_p, k=code.k)
+    timeit("identify_mrb (dense in)", jax.jit(gf2ops.identify_mrb,
+                                              static_argnames=("k",)),
+           h_p, k=code.k)
+    timeit("identify_mrb_from_perm", jax.jit(gf2ops.identify_mrb_from_perm,
+                                             static_argnames=("k",)),
+           perm, h, k=code.k)
 
 
 if __name__ == "__main__":
