@@ -27,6 +27,53 @@ def _add_common(p):
     p.add_argument("--seed", type=int, default=0)
 
 
+# every advertised choice resolves through models.canonical_dia_name; a test
+# walks all of them through make_dia (the r3 CLI advertised rnn_one/rnn_two
+# but the registry only knew model_rnn1/model_rnn2 — KeyError minutes into a
+# sweep)
+DIA_MODEL_CHOICES = ["model_cnn", "cnn", "model_rnn1", "rnn_one", "rnn1",
+                     "model_rnn2", "rnn_two", "rnn2"]
+
+
+def _add_dia_model(p):
+    p.add_argument("--dia-model", default="model_cnn",
+                   choices=DIA_MODEL_CHOICES)
+
+
+def _add_osd_point(p):
+    """Stage-6 operating point (reference defaults,
+    ``DL_OSD_Testing_serial/globalmap.py:49-55``)."""
+    p.add_argument("--threshold-sum", type=int, default=3,
+                   help="max order-pattern weight on the decoding path "
+                        "(~OSD order)")
+    p.add_argument("--decoding-length", type=int, default=30,
+                   help="max order patterns on the decoding path")
+    p.add_argument("--window", type=int, default=5,
+                   help="sliding stopper window width (block minima)")
+    p.add_argument("--soft-margin", type=float, default=0.9,
+                   help="stopper P[stop] threshold in (0, 1)")
+    p.add_argument("--segments", type=int, default=6,
+                   help="MRB reliability segments for order patterns")
+
+
+def _osd_point_kwargs(args) -> dict:
+    if not 0.0 < args.soft_margin < 1.0:
+        raise SystemExit(f"--soft-margin must be in (0, 1), got {args.soft_margin}")
+    if args.window < 1 or args.window > args.decoding_length:
+        raise SystemExit(
+            f"--window must be in [1, --decoding-length], got {args.window} "
+            f"vs {args.decoding_length}")
+    if args.threshold_sum < 0 or args.segments < 1:
+        raise SystemExit("--threshold-sum must be >= 0 and --segments >= 1")
+    return {
+        "threshold_sum": args.threshold_sum,
+        "decoding_length": args.decoding_length,
+        "window": args.window,
+        "soft_margin": args.soft_margin,
+        "num_segments": args.segments,
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="sldpc", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -57,8 +104,8 @@ def main(argv=None):
         p = sub.add_parser(name, help=hlp)
         _add_common(p)
         p.add_argument("--training-snr", type=float, default=2.7)
-        p.add_argument("--dia-model", default="model_cnn",
-                       choices=["model_cnn", "rnn_one", "rnn_two"])
+        _add_dia_model(p)
+        _add_osd_point(p)
         p.add_argument("--train-failures", type=int, default=20000)
         p.add_argument("--batch", type=int, default=4096)
 
@@ -66,8 +113,8 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--snrs", default="2.0:3.0:6")
     p.add_argument("--training-snr", type=float, default=2.7)
-    p.add_argument("--dia-model", default="model_cnn",
-                   choices=["model_cnn", "rnn_one", "rnn_two"])
+    _add_dia_model(p)
+    _add_osd_point(p)
     p.add_argument("--osd-budget", type=int, default=500)
     p.add_argument("--nms-budget", type=int, default=40000)
     p.add_argument("--train-failures", type=int, default=20000)
@@ -179,12 +226,15 @@ def _dispatch(args):
         return 0
 
     if args.cmd == "sweep":
+        from ..models import canonical_dia_name
+
         cfg = RecipeConfig(
             code_name=args.code,
             variant=args.variant,
             num_iterations=args.iterations,
             training_snr=args.training_snr,
-            dia_model=args.dia_model,
+            dia_model=canonical_dia_name(args.dia_model),
+            **_osd_point_kwargs(args),
             nms_error_budget=args.nms_budget,
             osd_failure_budget=args.osd_budget,
             train_failure_target=args.train_failures,
@@ -208,6 +258,8 @@ def _dispatch(args):
             stage_train_stopper,
         )
 
+        from ..models import canonical_dia_name
+
         code = get_code(args.code)
         run = RunDir(args.run_dir)
         cfg = RecipeConfig(
@@ -215,7 +267,8 @@ def _dispatch(args):
             variant=args.variant,
             num_iterations=args.iterations,
             training_snr=args.training_snr,
-            dia_model=args.dia_model,
+            dia_model=canonical_dia_name(args.dia_model),
+            **_osd_point_kwargs(args),
             train_failure_target=args.train_failures,
             eval_batch=args.batch,
             seed=args.seed,

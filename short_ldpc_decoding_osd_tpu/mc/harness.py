@@ -24,6 +24,7 @@ import numpy as np
 from ..channel import ChannelSpec, sample_batch
 from ..codes import Code
 from ..ops import nms
+from ..utils.dtypes import count_dtype
 from ..utils.metrics import DecodeStats
 
 
@@ -171,13 +172,14 @@ def build_nms_mc_step(
                 params, h, llr, num_iterations, variant, edge_cols
             )
         st = nms.frame_stats(soft_last, words, h)
+        cdt = count_dtype()  # int64 iff x64 enabled — see utils/dtypes.py
         counters = jnp.stack(
             [
-                jnp.asarray(batch, jnp.int64),
-                jnp.sum(st["frame_error"].astype(jnp.int64)),
-                jnp.sum(st["bit_errors"].astype(jnp.int64)),
-                jnp.sum(st["detected_failure"].astype(jnp.int64)),
-                jnp.sum(st["undetected_error"].astype(jnp.int64)),
+                jnp.asarray(batch, cdt),
+                jnp.sum(st["frame_error"].astype(cdt)),
+                jnp.sum(st["bit_errors"].astype(cdt)),
+                jnp.sum(st["detected_failure"].astype(cdt)),
+                jnp.sum(st["undetected_error"].astype(cdt)),
             ]
         )
         if not capture_capacity:

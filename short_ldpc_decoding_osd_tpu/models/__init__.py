@@ -1,10 +1,12 @@
 from . import extras
 from .dia import (
+    DIA_ALIASES,
     DIA_MODELS,
     ConvBitwise,
     RnnOne,
     RnnTwo,
     StopperFcn,
+    canonical_dia_name,
     dia_loss,
     make_dia,
     stopper_engine_params,
@@ -12,11 +14,13 @@ from .dia import (
 
 __all__ = [
     "extras",
+    "DIA_ALIASES",
     "DIA_MODELS",
     "ConvBitwise",
     "RnnOne",
     "RnnTwo",
     "StopperFcn",
+    "canonical_dia_name",
     "dia_loss",
     "make_dia",
     "stopper_engine_params",

@@ -182,9 +182,35 @@ class StopperFcn(nn.Module):
 
 DIA_MODELS = {"model_cnn": ConvBitwise, "model_rnn1": RnnOne, "model_rnn2": RnnTwo}
 
+# The reference switches DIA architectures with CNN/RNN1/RNN2 booleans
+# (``DL_Training_serial/Main_DL.py:22-24``) but names the checkpoint prefixes
+# model_cnn/model_rnn1/model_rnn2; this CLI historically advertised
+# rnn_one/rnn_two (the nn_net.py builder-function names).  Accept every
+# spelling — an unknown name must raise a helpful error, not a bare KeyError
+# minutes into a sweep.
+DIA_ALIASES = {
+    "cnn": "model_cnn",
+    "rnn_one": "model_rnn1",
+    "rnn_two": "model_rnn2",
+    "rnn1": "model_rnn1",
+    "rnn2": "model_rnn2",
+}
+
+
+def canonical_dia_name(kind: str) -> str:
+    """Resolve a DIA model name (or alias) to its registry key."""
+    name = DIA_ALIASES.get(kind, kind)
+    if name not in DIA_MODELS:
+        raise ValueError(
+            f"unknown DIA model {kind!r}; expected one of "
+            f"{sorted(DIA_MODELS) + sorted(DIA_ALIASES)}"
+        )
+    return name
+
 
 def make_dia(kind: str, n: int, list_length: int):
-    """Construct a DIA model by reference prefix name."""
+    """Construct a DIA model by reference prefix name (aliases accepted)."""
+    kind = canonical_dia_name(kind)
     if kind == "model_cnn" and list_length < 7:
         # three valid-padding k=3 convs consume 6 steps (nn_net.py:190-196)
         raise ValueError(

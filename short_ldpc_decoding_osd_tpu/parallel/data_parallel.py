@@ -20,6 +20,7 @@ from ..channel import ChannelSpec, sample_batch
 from ..codes import Code
 from ..ops import nms
 from ..train.optim import staircase_adam
+from ..utils.dtypes import count_dtype
 
 
 def _sharding(mesh: Mesh, *spec) -> NamedSharding:
@@ -60,17 +61,14 @@ def sharded_nms_mc_step(
         words = jax.lax.with_sharding_constraint(words, batch_sharding)
         outs = nms.decode(params, h, llr, num_iterations, variant, edge_cols)
         st = nms.frame_stats(outs[-1], words, h)
-        # int64 REQUESTED like the single-device step (harness.py);
-        # without jax_enable_x64 JAX truncates these to int32 (warns at
-        # trace), so >2^31-per-step pods must also set JAX_ENABLE_X64 —
-        # the dtype request makes that a flag flip, not a code change
+        cdt = count_dtype()  # int64 iff x64 enabled — see utils/dtypes.py
         return jnp.stack(
             [
-                jnp.asarray(total_batch, jnp.int64),
-                jnp.sum(st["frame_error"].astype(jnp.int64)),
-                jnp.sum(st["bit_errors"].astype(jnp.int64)),
-                jnp.sum(st["detected_failure"].astype(jnp.int64)),
-                jnp.sum(st["undetected_error"].astype(jnp.int64)),
+                jnp.asarray(total_batch, cdt),
+                jnp.sum(st["frame_error"].astype(cdt)),
+                jnp.sum(st["bit_errors"].astype(cdt)),
+                jnp.sum(st["detected_failure"].astype(cdt)),
+                jnp.sum(st["undetected_error"].astype(cdt)),
             ]
         )
 
@@ -328,12 +326,13 @@ def sharded_dl_osd_step(
             window=window, soft_margin=soft_margin, bounds=bounds,
         )
         succ = out["success"]
+        cdt = count_dtype()  # int64 iff x64 enabled — see utils/dtypes.py
         return jnp.stack(
             [
-                jnp.sum(succ.astype(jnp.int64)),
-                jnp.sum((~succ).astype(jnp.int64)),
-                jnp.sum(out["complexity"].astype(jnp.int64)),
-                jnp.sum(out["windows_evaluated"].astype(jnp.int64)),
+                jnp.sum(succ.astype(cdt)),
+                jnp.sum((~succ).astype(cdt)),
+                jnp.sum(out["complexity"].astype(cdt)),
+                jnp.sum(out["windows_evaluated"].astype(cdt)),
             ]
         )
 

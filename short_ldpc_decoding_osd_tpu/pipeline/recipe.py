@@ -153,8 +153,10 @@ def stage_harvest_failures(cfg: RecipeConfig, run: RunDir, nms_params, log=print
 
 
 def stage_train_dia_and_path(cfg: RecipeConfig, run: RunDir, fb, log=print):
+    from ..models import canonical_dia_name
+
     code = get_code(cfg.code_name)
-    model_tag = f"dia_{cfg.dia_model}"
+    model_tag = f"dia_{canonical_dia_name(cfg.dia_model)}"
     if run.has(model_tag + ".pkl") and run.has("decoding_path.json"):
         dia_params = run.load_pickle(model_tag + ".pkl")
         from ..models import make_dia
@@ -167,7 +169,9 @@ def stage_train_dia_and_path(cfg: RecipeConfig, run: RunDir, fb, log=print):
         fb.trajectories,
         fb.labels,
         DIATrainConfig(model=cfg.dia_model, seed=cfg.seed),
-        ckpt_dir=run.path("ckpt_dia"),
+        # per-model checkpoint dir: a shared one restores e.g. CNN params
+        # into an RNN model when the same run dir trains both refiners
+        ckpt_dir=run.path(f"ckpt_{model_tag}"),
         log_fn=lambda r: log(f"  dia step {r['step']} loss {r['loss']:.1f}"),
     )
     sweep = pattern_statistics_sweep(

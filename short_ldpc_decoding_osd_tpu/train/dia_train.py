@@ -50,11 +50,12 @@ def train_dia(
 ):
     """Returns (model, params, history)."""
     cfg = config
+    model_name = dia_mod.canonical_dia_name(cfg.model)
     list_length = trajectories.shape[1]
-    model = dia_mod.make_dia(cfg.model, code.n, list_length)
+    model = dia_mod.make_dia(model_name, code.n, list_length)
     rng = jax.random.PRNGKey(cfg.seed)
     sample = jnp.asarray(trajectories[: max(2, min(8, len(trajectories)))], jnp.float32)
-    if cfg.model == "model_cnn":
+    if model_name == "model_cnn":
         init_in = jnp.transpose(sample, (0, 2, 1)).reshape(-1, list_length, 1)
     else:
         init_in = sample
