@@ -36,7 +36,15 @@ def main():
     ap.add_argument("--max-frames", type=int, default=10**9)
     ap.add_argument("--params", default=None, help="pickle of trained params")
     ap.add_argument("--out", default="runs/multihost_fer.json")
+    ap.add_argument(
+        "--mesh-rung", choices=["compact", "oneshot", "xla"], default=None,
+        help="pre-pin the fused-kernel ladder rung uniformly across hosts "
+             "(demotion is host-local and disabled under >1 process; pass "
+             "the rung known to fit this code instead). Sets SLDPC_MESH_RUNG.",
+    )
     args = ap.parse_args()
+    if args.mesh_rung:
+        os.environ["SLDPC_MESH_RUNG"] = args.mesh_rung
 
     from short_ldpc_decoding_osd_tpu.parallel.mesh import init_multihost
 

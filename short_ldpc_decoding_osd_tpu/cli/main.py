@@ -162,7 +162,26 @@ def _banner(args):
         print("Using one of Min-Sum variants")
 
 
+def _setup_compile_cache():
+    """Point JAX's persistent compilation cache at the repo cache (or
+    ``SLDPC_JAX_CACHE``): first-compile of the large-batch capture step is
+    ~6 min on v5e, a cache load ~30 s."""
+    import os
+    import pathlib
+
+    import jax
+
+    cache = os.environ.get("SLDPC_JAX_CACHE")
+    if cache is None:
+        cache = str(pathlib.Path(__file__).resolve().parents[2] / ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+    except Exception:
+        pass  # older jax or read-only fs: run uncached
+
+
 def _dispatch(args):
+    _setup_compile_cache()
     from ..codes import get_code
     from ..pipeline.recipe import RecipeConfig, RunDir, run_recipe, stage_train_nms
 

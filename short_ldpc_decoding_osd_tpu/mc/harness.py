@@ -14,7 +14,6 @@ The multi-device version lives in ``parallel/data_parallel.py``.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import warnings
 
 import jax
@@ -100,6 +99,18 @@ class FailureBatch:
     trajectories: np.ndarray  # (count, T+1, n) per-iteration soft outputs
     labels: np.ndarray  # (count, n) transmitted codewords
     overflow: int  # failures that did not fit the capture buffer
+    # frames the capture kernel flagged but the bit-exact XLA re-decode did
+    # not confirm as detected failures (f32-rounding ties between the edge
+    # kernel and the XLA decoder); dropped from the batch, counted here
+    mismatches: int = 0
+
+
+# (code.name, variant, iters, batch, capacity, all_zeros, spec-structure,
+#  backend) -> jitted step.  The AWGN (mean, sigma) are RUNTIME scalars, so
+# one compile serves a whole SNR sweep — per-point retrace/recompile was the
+# capture path's dominant cost (r3: NMS eval with capture ran at 4-45k f/s
+# while the decode itself is ~5 ms of real work per point).
+_STEP_CACHE: dict = {}
 
 
 def build_nms_mc_step(
@@ -112,17 +123,17 @@ def build_nms_mc_step(
     all_zeros: bool = False,
     use_pallas: bool | None = None,
 ):
-    """Build a jitted (params, key) -> (counters, capture) Monte-Carlo step.
+    """Build a (params, key) -> (counters, capture) Monte-Carlo step.
 
     counters = [frames, frame_errors, bit_errors, detected, undetected].
-    ``use_pallas`` selects the fused VMEM kernel on the no-capture fast path
-    (default: automatically on TPU for the scalar variants)."""
+    ``use_pallas`` selects the fused VMEM kernel (default: automatically on
+    TPU for the scalar variants).  In capture mode the step runs the fastest
+    available kernel and captures flagged frames' channel LLRs; the harness
+    re-derives their trajectories with the bit-exact XLA decoder and drops
+    any frame that re-decode does not confirm as a detected failure, so the
+    capture set is exact even when the flagging kernel differs from the XLA
+    decoder by f32 rounding."""
     decode_h = code.extended().h if variant == "ENMS" else code.h
-    h = jnp.asarray(decode_h, jnp.float32)
-    gen = jnp.asarray(code.g, jnp.float32)
-    edge_cols = (
-        jnp.asarray(nms.edge_columns(decode_h)) if variant == "NMS-r" else None
-    )
     from ..ops.nms_edge_pallas import auto_block_frames as edge_auto
     from ..ops.nms_pallas import auto_block_frames
 
@@ -140,65 +151,97 @@ def build_nms_mc_step(
                 or (pallas_block >= 8 and batch % pallas_block == 0)
             )
         )
-    # capture mode re-derives failure trajectories with the XLA decoder and
-    # needs bit-identical failure flags, which only the dense kernel
-    # guarantees (the edge kernel agrees to f32 rounding, not bitwise)
-    use_edge = use_pallas and edge_block >= 8 and not capture_capacity
+    use_edge = use_pallas and edge_block >= 8
     if use_pallas and not use_edge and not (
         pallas_block >= 8 and batch % pallas_block == 0
     ):
         use_pallas = False
-    decode_h_host = np.asarray(decode_h)
 
-    @jax.jit
-    def step(params, key):
-        llr, words = sample_batch(key, spec, gen, batch, all_zeros=all_zeros)
-        if use_edge:
-            from ..ops.nms_edge_pallas import decode_final_edge
-
-            soft_last = decode_final_edge(
-                params, decode_h_host, llr, num_iterations, variant,
-                block_frames=edge_block,
-            )
-        elif use_pallas:
-            from .. import ops
-
-            soft_last = ops.nms_pallas.decode_final_pallas(
-                params, h, llr, num_iterations, variant,
-                block_frames=pallas_block,
-            )
-        else:
-            soft_last = nms.decode_final(
-                params, h, llr, num_iterations, variant, edge_cols
-            )
-        st = nms.frame_stats(soft_last, words, h)
-        cdt = count_dtype()  # int64 iff x64 enabled — see utils/dtypes.py
-        counters = jnp.stack(
-            [
-                jnp.asarray(batch, cdt),
-                jnp.sum(st["frame_error"].astype(cdt)),
-                jnp.sum(st["bit_errors"].astype(cdt)),
-                jnp.sum(st["detected_failure"].astype(cdt)),
-                jnp.sum(st["undetected_error"].astype(cdt)),
-            ]
+    # a plain-AWGN spec's (mean, sigma) pass at run time; any other spec
+    # structure (rayleigh / SNR blend) is baked into the compiled step
+    runtime_moments = not spec.rayleigh
+    cache_key = (
+        code.name, code.n, code.m, variant, num_iterations, batch,
+        capture_capacity, all_zeros, use_edge, use_pallas,
+        (spec if not runtime_moments else None), jax.default_backend(),
+    )
+    if cache_key in _STEP_CACHE:
+        inner = _STEP_CACHE[cache_key]
+    else:
+        h = jnp.asarray(decode_h, jnp.float32)
+        gen = jnp.asarray(code.g, jnp.float32)
+        edge_cols = (
+            jnp.asarray(nms.edge_columns(decode_h))
+            if variant == "NMS-r"
+            else None
         )
-        if not capture_capacity:
-            return counters, None
-        # capture only the failures' channel LLRs; their full iteration
-        # trajectories are re-derived later in one batched re-decode (the
-        # decode is deterministic), so the fast final-only kernel serves the
-        # Monte-Carlo loop even in capture mode
-        flag = st["detected_failure"]
-        order = jnp.argsort(jnp.logical_not(flag), stable=True)  # failures first
-        take = order[:capture_capacity]
-        capture = {
-            "count": jnp.sum(flag.astype(jnp.int32)),
-            "llr": llr[take],
-            "labels": words[take],
-        }
-        return counters, capture
+        decode_h_host = np.asarray(decode_h)
+
+        @jax.jit
+        def inner(params, key, mean, sigma):
+            sp = (
+                dataclasses.replace(spec, mean=mean, sigma=sigma)
+                if runtime_moments
+                else spec
+            )
+            llr, words = sample_batch(key, sp, gen, batch, all_zeros=all_zeros)
+            if use_edge:
+                from ..ops.nms_edge_pallas import decode_final_edge
+
+                soft_last = decode_final_edge(
+                    params, decode_h_host, llr, num_iterations, variant,
+                    block_frames=edge_block,
+                )
+            elif use_pallas:
+                from .. import ops
+
+                soft_last = ops.nms_pallas.decode_final_pallas(
+                    params, h, llr, num_iterations, variant,
+                    block_frames=pallas_block,
+                )
+            else:
+                soft_last = nms.decode_final(
+                    params, h, llr, num_iterations, variant, edge_cols
+                )
+            st = nms.frame_stats(soft_last, words, h)
+            cdt = count_dtype()  # int64 iff x64 enabled — see utils/dtypes.py
+            counters = jnp.stack(
+                [
+                    jnp.asarray(batch, cdt),
+                    jnp.sum(st["frame_error"].astype(cdt)),
+                    jnp.sum(st["bit_errors"].astype(cdt)),
+                    jnp.sum(st["detected_failure"].astype(cdt)),
+                    jnp.sum(st["undetected_error"].astype(cdt)),
+                ]
+            )
+            if not capture_capacity:
+                return counters, None
+            # capture only the failures' channel LLRs; their full iteration
+            # trajectories are re-derived later in one batched re-decode (the
+            # decode is deterministic), so the fast final-only kernel serves
+            # the Monte-Carlo loop even in capture mode
+            flag = st["detected_failure"]
+            order = jnp.argsort(jnp.logical_not(flag), stable=True)
+            take = order[:capture_capacity]  # failures first
+            capture = {
+                "count": jnp.sum(flag.astype(jnp.int32)),
+                "llr": llr[take],
+                "labels": words[take],
+            }
+            return counters, capture
+
+        _STEP_CACHE[cache_key] = inner
+
+    mean = jnp.float32(spec.mean)
+    sigma = jnp.float32(spec.sigma)
+
+    def step(params, key):
+        return inner(params, key, mean, sigma)
 
     return step
+
+
+_REDECODE_CACHE: dict = {}
 
 
 def trajectories_for_llrs(
@@ -212,28 +255,52 @@ def trajectories_for_llrs(
     """Re-decode captured failure LLRs with the trajectory-stacking path,
     returning (N, T+1, n) per-iteration soft outputs."""
     decode_h = code.extended().h if variant == "ENMS" else code.h
-    h = jnp.asarray(decode_h, jnp.float32)
-    edge_cols = (
-        jnp.asarray(nms.edge_columns(decode_h)) if variant == "NMS-r" else None
-    )
     n_total = len(llrs)
     if n_total == 0:
         return np.zeros((0, num_iterations + 1, code.n), np.float32)
     pad = (-n_total) % chunk
+    cache_key = (code.name, code.n, code.m, variant, num_iterations, chunk)
+    if cache_key in _REDECODE_CACHE:
+        redecode = _REDECODE_CACHE[cache_key]
+    else:
+        h = jnp.asarray(decode_h, jnp.float32)
+        edge_cols = (
+            jnp.asarray(nms.edge_columns(decode_h))
+            if variant == "NMS-r"
+            else None
+        )
 
-    @jax.jit
-    def redecode(x):
-        outs = nms.decode(params, h, x, num_iterations, variant, edge_cols)
-        return jnp.transpose(outs, (1, 0, 2))
+        @jax.jit
+        def redecode(params, x):
+            outs = nms.decode(params, h, x, num_iterations, variant, edge_cols)
+            return jnp.transpose(outs, (1, 0, 2))
+
+        _REDECODE_CACHE[cache_key] = redecode
 
     padded = np.concatenate(
         [llrs, np.zeros((pad, code.n), np.float32)], axis=0
     )
     parts = [
-        np.asarray(redecode(jnp.asarray(padded[i : i + chunk])))
+        np.asarray(redecode(params, jnp.asarray(padded[i : i + chunk])))
         for i in range(0, len(padded), chunk)
     ]
     return np.concatenate(parts)[:n_total]
+
+
+def detected_failure_mask(
+    code: Code, variant: str, trajectories: np.ndarray
+) -> np.ndarray:
+    """Host-side detected-failure flags from re-decoded trajectories.
+
+    Matches ``nms.frame_stats``'s rule (reference ``ms_test.py:36-54``):
+    a detected failure is a nonzero syndrome of the final iteration's hard
+    decision, measured against the decoding H (extended for ENMS)."""
+    decode_h = np.asarray(
+        code.extended().h if variant == "ENMS" else code.h, np.int64
+    )
+    hard = (trajectories[:, -1] < 0).astype(np.int64)  # frame_stats' rule
+    syndrome = hard @ decode_h.T % 2
+    return syndrome.any(axis=1)
 
 
 def run_nms_mc(
@@ -280,111 +347,72 @@ def run_nms_mc(
     if use_fused:
         # fully fused in-kernel Monte-Carlo (own PRNG stream; statistically
         # equivalent to the jax.random path); the edge-compact kernel is ~4x
-        # the dense one and is preferred whenever its layout fits VMEM
+        # the dense one and is preferred whenever its layout fits VMEM.
+        # Rung order + demotion rules live ONCE in mc/ladder.py, shared with
+        # the mesh path; this caller supplies direct-call rung runners and
+        # the single-device error triage.  The VMEM fit model in
+        # auto_block_frames is calibrated, not exact (Mosaic's scoped
+        # allocation for large edge counts exceeds any linear estimate), so
+        # every fused kernel is guarded at runtime: a compile failure
+        # demotes compact -> one-shot -> halved blocks -> the plain XLA
+        # step, preserving the sweep instead of crashing it.
         from ..ops.mc_pallas import fused_counters
-        from ..ops.nms_edge_pallas import auto_block_frames as edge_auto
         from ..ops.nms_edge_pallas import (
             DEFAULT_COMPACT_SCHEDULE,
             fused_counters_edge,
             fused_counters_edge_compact,
         )
         from ..ops.nms_pallas import auto_block_frames
+        from .ladder import build_ladder_step, ladder_blocks
 
-        dc = int(code.h.sum(axis=1).max())
-        eblock = edge_auto(code.m, code.n, dc)
-        while eblock >= 8 and batch % eblock:
-            eblock //= 2
-        # the compaction machinery (sub-block scratch, rank/one-hot maps)
-        # needs its own, smaller block to fit scoped VMEM
-        cfrac = DEFAULT_COMPACT_SCHEDULE[0][1]
-        cblock = edge_auto(code.m, code.n, dc, compact_frac=cfrac)
-        while cblock >= 8 and batch % cblock:
-            cblock //= 2
+        t1 = 4
+        eblock, cblock, compact_enabled = ladder_blocks(
+            code, batch, num_iterations, t1
+        )
         block = auto_block_frames(code.m, code.n)
-        if eblock >= 8:
-            # in-kernel convergence compaction when enough iterations remain
-            # after the T1 syndrome check; if a block ever overflows its
-            # compacted capacity (low SNR: >1/2 of frames unconverged at T1)
-            # the overflowed step is REDONE with the one-shot kernel and the
-            # harness stays one-shot — overflowed frames are judged at T1,
-            # which would bias FER upward if kept.  The VMEM fit model in
-            # auto_block_frames is calibrated, not exact (Mosaic's scoped
-            # allocation for large edge counts exceeds any linear estimate),
-            # so every fused kernel is also guarded at runtime: a compile
-            # failure demotes compact -> one-shot -> halved blocks -> the
-            # plain XLA step, preserving the sweep instead of crashing it.
-            t1 = 4
-            state = {
-                "compact": num_iterations > t1 + 1 and cblock >= 128,
-                "eblock": eblock,
-                "xla": None,
-            }
+        dense_ok = block >= 8 and batch % block == 0
+        if eblock >= 8 or dense_ok:
 
-            def step(p, key, idx):
+            def _kseed(idx):
                 # fused-kernel seeds are positional in the STEP INDEX (not a
                 # process-local counter), so a resumed sweep continues the
                 # PRNG streams instead of re-consuming seeds 0..N; masked
                 # into int32 range (the kernel seed word is int32)
-                s = (seed * 100003 + idx) & 0x7FFFFFFF
-                if state["xla"] is not None:
-                    return state["xla"](p, key)
-                if state["compact"]:
-                    status, c = _attempt_fused(
-                        lambda: np.asarray(fused_counters_edge_compact(
-                            code, p, variant, num_iterations, snr_db, batch,
-                            seed=s, t1=t1, block_frames=cblock,
-                            schedule=DEFAULT_COMPACT_SCHEDULE,
-                        )),
-                        "compact MC kernel",
-                    )
-                    if status == "ok" and c[5] == 0.0:
-                        return c[:5], None
-                    # overflow or failure: redo one-shot, stay one-shot
-                    state["compact"] = False
-                while state["eblock"] >= 8:
-                    status, c = _attempt_fused(
-                        lambda: np.asarray(fused_counters_edge(
-                            code, p, variant, num_iterations, snr_db, batch,
-                            seed=s, block_frames=state["eblock"],
-                        )),
-                        f"one-shot edge MC kernel (block {state['eblock']})",
-                    )
-                    if status == "ok":
-                        return c, None
-                    state["eblock"] //= 2
-                    while state["eblock"] >= 8 and batch % state["eblock"]:
-                        state["eblock"] //= 2
-                warnings.warn(
-                    "edge MC kernels do not fit on this code; using the "
-                    "plain XLA MC step")
-                state["xla"] = build_nms_mc_step(
+                return (seed * 100003 + idx) & 0x7FFFFFFF
+
+            def run_compact(p, idx):
+                return np.asarray(fused_counters_edge_compact(
+                    code, p, variant, num_iterations, snr_db, batch,
+                    seed=_kseed(idx), t1=t1, block_frames=cblock,
+                    schedule=DEFAULT_COMPACT_SCHEDULE,
+                ))
+
+            def run_oneshot(p, idx, blk):
+                return np.asarray(fused_counters_edge(
+                    code, p, variant, num_iterations, snr_db, batch,
+                    seed=_kseed(idx), block_frames=blk,
+                ))
+
+            run_dense = None
+            if dense_ok:
+                def run_dense(p, idx):
+                    return np.asarray(fused_counters(
+                        code, p, variant, num_iterations, snr_db, batch,
+                        seed=_kseed(idx), block_frames=block,
+                    ))
+
+            def run_xla():
+                return build_nms_mc_step(
                     code, variant, num_iterations, spec, batch,
                     capture_capacity=capacity, use_pallas=False,
                 )
-                return state["xla"](p, key)
 
-        elif block >= 8 and batch % block == 0:
-            dstate = {"xla": None}
-
-            def step(p, key, idx):
-                s = (seed * 100003 + idx) & 0x7FFFFFFF
-                if dstate["xla"] is None:
-                    status, c = _attempt_fused(
-                        lambda: np.asarray(fused_counters(
-                            code, p, variant, num_iterations, snr_db, batch,
-                            seed=s, block_frames=block,
-                        )),
-                        "dense MC kernel",
-                    )
-                    if status == "ok":
-                        return c, None
-                    warnings.warn("using the plain XLA MC step")
-                    dstate["xla"] = build_nms_mc_step(
-                        code, variant, num_iterations, spec, batch,
-                        capture_capacity=capacity, use_pallas=False,
-                    )
-                return dstate["xla"](p, key)
-
+            step = build_ladder_step(
+                batch=batch, eblock=eblock, compact_enabled=compact_enabled,
+                attempt=_attempt_fused, run_compact=run_compact,
+                run_oneshot=run_oneshot, run_xla=run_xla,
+                run_dense=run_dense,
+            )
         else:
             use_fused = False
     if mesh is not None:
@@ -467,12 +495,22 @@ def run_nms_mc(
     if capture_failures:
         if traj_list:
             llrs = np.concatenate(traj_list)
+            traj = trajectories_for_llrs(
+                code, params, variant, num_iterations, llrs
+            )
+            labels = np.concatenate(label_list)
+            # the capture kernel may be the fast edge kernel, whose failure
+            # flags agree with the XLA decoder only to f32 rounding; keep
+            # exactly the frames the bit-exact re-decode confirms
+            keep = detected_failure_mask(code, variant, traj)
+            mismatches = int((~keep).sum())
+            if mismatches:
+                traj, labels = traj[keep], labels[keep]
             failures = FailureBatch(
-                trajectories=trajectories_for_llrs(
-                    code, params, variant, num_iterations, llrs
-                ),
-                labels=np.concatenate(label_list),
+                trajectories=traj,
+                labels=labels,
                 overflow=overflow,
+                mismatches=mismatches,
             )
         else:
             failures = FailureBatch(

@@ -9,7 +9,6 @@ Parameters are replicated, the codeword batch is sharded on the 'mc' axis.
 from __future__ import annotations
 
 import functools
-import warnings
 
 import jax
 import jax.numpy as jnp
@@ -135,10 +134,17 @@ def sharded_fused_mc_step(
     on non-TPU backends the fused rungs fail to lower and the ladder lands on
     the XLA rung, which is also how the CPU-mesh dryrun exercises this path.
     """
+    import os
+
     from ..mc.harness import _attempt_fused
+    from ..mc.ladder import (
+        apply_pinned_rung,
+        attempt_multiproc,
+        build_ladder_step,
+        ladder_blocks,
+    )
     from ..ops.nms_edge_pallas import (
         DEFAULT_COMPACT_SCHEDULE,
-        auto_block_frames as edge_auto,
         fused_counters_edge,
         fused_counters_edge_compact,
     )
@@ -146,102 +152,64 @@ def sharded_fused_mc_step(
     spec = spec or ChannelSpec.awgn(snr_db, code.rate)
     n_dev = mesh.devices.size
     batch = per_device_batch
-    dc = int(code.h.sum(axis=1).max())
-    eblock = edge_auto(code.m, code.n, dc)
-    while eblock >= 8 and batch % eblock:
-        eblock //= 2
-    cfrac = DEFAULT_COMPACT_SCHEDULE[0][1]
-    cblock = edge_auto(code.m, code.n, dc, compact_frac=cfrac)
-    while cblock >= 8 and batch % cblock:
-        cblock //= 2
     t1 = 4
-    state = {
-        "compact": num_iterations > t1 + 1 and cblock >= 128,
-        "eblock": eblock,
-        "xla": None,
-        "programs": {},  # ladder rung -> compiled shard_map program
-    }
+    eblock, cblock, compact_enabled = ladder_blocks(
+        code, batch, num_iterations, t1
+    )
     # Error-driven demotion is HOST-LOCAL state: on a multi-process pod, one
     # host demoting while another stays on the fused rung issues DIFFERENT
     # collective programs in the same step — a deadlock in JAX's
     # multi-controller model.  (Overflow-driven compact->one-shot demotion is
     # safe: it reads a psum'd, replicated counter, so every host agrees.)
-    # With >1 process, kernel errors therefore RAISE instead of demoting;
-    # pre-pin a rung uniformly via SLDPC_MESH_RUNG=compact|oneshot|xla.
-    import os
-
+    # With >1 process, kernel errors therefore RAISE — except a single
+    # transient retry of the identical compiled program, which is uniform
+    # across hosts (ladder.attempt_multiproc); pre-pin a rung uniformly via
+    # SLDPC_MESH_RUNG=compact|oneshot|xla.
     multiproc = jax.process_count() > 1
-    rung = os.environ.get("SLDPC_MESH_RUNG")
-    if rung == "oneshot":
-        state["compact"] = False
-    elif rung == "xla":
-        state["compact"] = False
-        state["eblock"] = 0
+    compact_enabled, eblock = apply_pinned_rung(
+        os.environ.get("SLDPC_MESH_RUNG"), compact_enabled, eblock
+    )
+    programs: dict = {}  # ladder rung -> compiled shard_map program
 
-    def _attempt(call, desc):
-        if multiproc:
-            return "ok", call()  # raise on error: see comment above
-        return _attempt_fused(call, desc)
+    def _seeds(idx):
+        return jnp.asarray(device_seeds(base_seed, idx, n_dev))
 
-    def _compact_program():
-        if "compact" not in state["programs"]:
-            state["programs"]["compact"] = sharded_seed_counters(
+    def run_compact(p, idx):
+        if "compact" not in programs:
+            programs["compact"] = sharded_seed_counters(
                 mesh,
-                lambda p, s: fused_counters_edge_compact(
-                    code, p, variant, num_iterations, snr_db, batch,
+                lambda pp, s: fused_counters_edge_compact(
+                    code, pp, variant, num_iterations, snr_db, batch,
                     seed=s, t1=t1, block_frames=cblock,
                     schedule=DEFAULT_COMPACT_SCHEDULE,
                 ),
             )
-        return state["programs"]["compact"]
+        return np.asarray(programs["compact"](p, _seeds(idx)))
 
-    def _oneshot_program(blk):
+    def run_oneshot(p, idx, blk):
         key = ("oneshot", blk)
-        if key not in state["programs"]:
-            state["programs"][key] = sharded_seed_counters(
+        if key not in programs:
+            programs[key] = sharded_seed_counters(
                 mesh,
-                lambda p, s: fused_counters_edge(
-                    code, p, variant, num_iterations, snr_db, batch,
+                lambda pp, s: fused_counters_edge(
+                    code, pp, variant, num_iterations, snr_db, batch,
                     seed=s, block_frames=blk,
                 ),
             )
-        return state["programs"][key]
+        return np.asarray(programs[key](p, _seeds(idx)))
 
-    def step(params, key, idx):
-        seeds = jnp.asarray(device_seeds(base_seed, idx, n_dev))
-        if state["xla"] is not None:
-            return np.asarray(state["xla"](params, key)), None
-        if state["compact"]:
-            status, c = _attempt(
-                lambda: np.asarray(_compact_program()(params, seeds)),
-                f"sharded compact MC kernel ({n_dev} devices)",
-            )
-            if status == "ok" and c[5] == 0.0:
-                return c[:5], None
-            state["compact"] = False
-        while state["eblock"] >= 8:
-            status, c = _attempt(
-                lambda: np.asarray(
-                    _oneshot_program(state["eblock"])(params, seeds)
-                ),
-                f"sharded one-shot edge MC kernel (block {state['eblock']}, "
-                f"{n_dev} devices)",
-            )
-            if status == "ok":
-                return c, None
-            state["eblock"] //= 2
-            while state["eblock"] >= 8 and batch % state["eblock"]:
-                state["eblock"] //= 2
-        warnings.warn(
-            "fused MC kernels unavailable on this mesh; using the sharded "
-            "XLA MC step"
-        )
-        state["xla"] = sharded_nms_mc_step(
+    def run_xla():
+        xla = sharded_nms_mc_step(
             code, variant, num_iterations, spec, batch, mesh
         )
-        return np.asarray(state["xla"](params, key)), None
+        return lambda p, key: (np.asarray(xla(p, key)), None)
 
-    return step
+    return build_ladder_step(
+        batch=batch, eblock=eblock, compact_enabled=compact_enabled,
+        attempt=attempt_multiproc if multiproc else _attempt_fused,
+        run_compact=run_compact, run_oneshot=run_oneshot, run_xla=run_xla,
+        warn_suffix=f" (sharded, {n_dev} devices)",
+    )
 
 
 def sharded_nms_train_step(

@@ -44,6 +44,78 @@ def test_capture_consistency_with_stats(code):
     assert bool(jnp.all(st["detected_failure"]))
 
 
+def test_detected_failure_mask_matches_frame_stats(code):
+    from short_ldpc_decoding_osd_tpu.mc.harness import detected_failure_mask
+
+    rng = np.random.default_rng(1)
+    traj = rng.normal(0.3, 1.0, (64, 5, code.n)).astype(np.float32)
+    mask = detected_failure_mask(code, "NMS-1", traj)
+    st = nms.frame_stats(
+        jnp.asarray(traj[:, -1]), jnp.zeros((64, code.n), jnp.int32),
+        jnp.asarray(code.h),
+    )
+    np.testing.assert_array_equal(mask, np.asarray(st["detected_failure"]))
+
+
+def test_capture_drops_unconfirmed_failures(monkeypatch, code):
+    """Frames the capture kernel flagged but the bit-exact re-decode does not
+    confirm must be dropped and counted (the capture kernel may be the edge
+    kernel, which agrees with the XLA decoder only to f32 rounding)."""
+    import short_ldpc_decoding_osd_tpu.mc.harness as harness
+
+    real = harness.trajectories_for_llrs
+
+    def fake(code_, params, variant, iters, llrs, chunk=4096):
+        traj = real(code_, params, variant, iters, llrs, chunk=chunk)
+        if len(traj):
+            traj = traj.copy()
+            # frame 0 "re-decodes" to the all-zeros codeword: zero syndrome
+            traj[0, -1] = np.abs(traj[0, -1]) + 1.0
+        return traj
+
+    monkeypatch.setattr(harness, "trajectories_for_llrs", fake)
+    params = nms.init_params("NMS-1")
+    stats, fb = run_nms_mc(
+        code, params, "NMS-1", 4, 2.5, batch=512, error_budget=10**9,
+        max_frames=512, capture_failures=True,
+    )
+    assert fb.mismatches == 1
+    assert len(fb.trajectories) + fb.overflow + fb.mismatches == (
+        stats.detected_failures
+    )
+    # everything kept is a confirmed detected failure
+    assert harness.detected_failure_mask(code, "NMS-1", fb.trajectories).all()
+
+
+def test_capture_step_one_compile_serves_all_snrs(code):
+    """The capture step's (mean, sigma) are runtime scalars: two SNR points
+    share one cached jitted step (per-point retrace was the capture path's
+    dominant cost in r3)."""
+    from short_ldpc_decoding_osd_tpu.channel import ChannelSpec
+    from short_ldpc_decoding_osd_tpu.mc.harness import (
+        _STEP_CACHE,
+        build_nms_mc_step,
+    )
+
+    before = len(_STEP_CACHE)
+    s1 = build_nms_mc_step(
+        code, "NMS-1", 4, ChannelSpec.awgn(2.0, code.rate), 128,
+        capture_capacity=64,
+    )
+    s2 = build_nms_mc_step(
+        code, "NMS-1", 4, ChannelSpec.awgn(3.5, code.rate), 128,
+        capture_capacity=64,
+    )
+    assert len(_STEP_CACHE) == before + 1  # one inner jit for both points
+    params = nms.init_params("NMS-1")
+    key = jax.random.PRNGKey(0)
+    c1, cap1 = s1(params, key)
+    c2, cap2 = s2(params, key)
+    # same key, different sigma -> different outcomes through one program
+    assert int(c1[0]) == int(c2[0]) == 128
+    assert int(c1[3]) != int(c2[3]) or int(c1[1]) != int(c2[1])
+
+
 def test_fused_fallback_chain(monkeypatch, recwarn, code):
     """A fused-kernel compile failure must demote compact -> one-shot ->
     halved blocks -> the plain XLA step instead of crashing the sweep

@@ -163,6 +163,174 @@ def test_harness_mesh_uses_fused_kernels(monkeypatch, code):
     assert stats.detected_failures == expect
 
 
+def _ladder_fakes(monkeypatch, log, fail_compact=True, fail_blocks=()):
+    """Install fused-kernel fakes that log every attempt and fail with a
+    VMEM-style error for the compact rung / listed one-shot block sizes."""
+    import jax.numpy as jnp
+
+    import short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas as ep
+
+    def fake_compact(code_, p, variant, iters, snr_db, batch, seed, **kw):
+        log.append("compact")
+        if fail_compact:
+            raise RuntimeError("scoped vmem OOM (simulated)")
+        return jnp.stack([jnp.float32(batch), 1.0, 2.0, 1.0, 0.0, 0.0])
+
+    def fake_oneshot(code_, p, variant, iters, snr_db, batch, seed, **kw):
+        blk = kw.get("block_frames")
+        log.append(("oneshot", blk))
+        if blk in fail_blocks:
+            raise RuntimeError("scoped vmem OOM (simulated)")
+        return jnp.stack([jnp.float32(batch), 1.0, 2.0, 1.0, 0.0])
+
+    monkeypatch.setattr(ep, "fused_counters_edge_compact", fake_compact)
+    monkeypatch.setattr(ep, "fused_counters_edge", fake_oneshot)
+
+
+def test_ladder_rung_parity_single_vs_mesh(monkeypatch, code):
+    """The single-device harness and the mesh path must walk the SAME rung
+    sequence under the same failures (one shared ladder — r3 shipped two
+    copies with drift risk)."""
+    import warnings as _w
+
+    import short_ldpc_decoding_osd_tpu.mc.harness as harness
+    from short_ldpc_decoding_osd_tpu.mc import run_nms_mc
+    from short_ldpc_decoding_osd_tpu.mc.ladder import ladder_blocks
+    from short_ldpc_decoding_osd_tpu.parallel import sharded_fused_mc_step
+
+    batch = 256
+    eblock, _, compact_on = ladder_blocks(code, batch, 12)
+    assert compact_on and eblock >= 16  # the scenario below needs both
+    # compact fails, full-block one-shot fails, half block succeeds
+    monkeypatch.setattr(harness.jax, "default_backend", lambda: "tpu")
+
+    log_single = []
+    _ladder_fakes(monkeypatch, log_single, fail_blocks=(eblock,))
+    params = nms.init_params("NMS-1")
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        stats, _ = run_nms_mc(
+            code, params, "NMS-1", 12, 3.0, batch=batch, max_frames=batch,
+            error_budget=10**9, seed=1,
+        )
+    assert stats.frames == batch
+
+    log_mesh = []
+    _ladder_fakes(monkeypatch, log_mesh, fail_blocks=(eblock,))
+    mesh = make_mesh(1)
+    with mesh, _w.catch_warnings():
+        _w.simplefilter("ignore")
+        step = sharded_fused_mc_step(
+            code, "NMS-1", 12, 3.0, per_device_batch=batch, mesh=mesh,
+            base_seed=1,
+        )
+        c, _ = step(params, jax.random.PRNGKey(0), 0)
+    assert int(c[0]) == batch
+    # identical attempt sequence, rung for rung
+    assert log_single == log_mesh == [
+        "compact", ("oneshot", eblock), ("oneshot", eblock // 2)
+    ]
+
+
+def test_mesh_rung_pinning(monkeypatch, code):
+    """SLDPC_MESH_RUNG pre-pins the ladder uniformly (the multi-host lever:
+    demotion is host-local and would diverge collective programs)."""
+    import warnings as _w
+
+    from short_ldpc_decoding_osd_tpu.parallel import sharded_fused_mc_step
+
+    params = nms.init_params("NMS-1")
+    mesh = make_mesh(2)
+
+    log = []
+    _ladder_fakes(monkeypatch, log, fail_compact=False)
+    monkeypatch.setenv("SLDPC_MESH_RUNG", "oneshot")
+    with mesh:
+        step = sharded_fused_mc_step(
+            code, "NMS-1", 12, 3.0, per_device_batch=256, mesh=mesh,
+            base_seed=0,
+        )
+        c, _ = step(params, jax.random.PRNGKey(0), 0)
+    assert int(c[0]) == 2 * 256
+    assert "compact" not in log  # the compact rung was never attempted
+
+    log2 = []
+    _ladder_fakes(monkeypatch, log2, fail_compact=False)
+    monkeypatch.setenv("SLDPC_MESH_RUNG", "xla")
+    with mesh, _w.catch_warnings():
+        _w.simplefilter("ignore")
+        step = sharded_fused_mc_step(
+            code, "NMS-1", 6, 3.0, per_device_batch=32, mesh=mesh,
+            base_seed=0,
+        )
+        c, _ = step(params, jax.random.PRNGKey(0), 0)
+    assert log2 == []  # no fused rung at all; the sharded XLA step ran
+    assert int(c[0]) == 2 * 32
+
+    monkeypatch.setenv("SLDPC_MESH_RUNG", "bogus")
+    with pytest.raises(ValueError, match="compact|oneshot|xla"):
+        sharded_fused_mc_step(
+            code, "NMS-1", 6, 3.0, per_device_batch=32, mesh=mesh,
+            base_seed=0,
+        )
+
+
+def test_multiproc_mesh_raises_instead_of_demoting(monkeypatch, code):
+    """With >1 process a kernel error must RAISE (host-local demotion would
+    issue different collective programs on different hosts = deadlock)."""
+    import short_ldpc_decoding_osd_tpu.parallel.data_parallel as dp
+    from short_ldpc_decoding_osd_tpu.parallel import sharded_fused_mc_step
+
+    monkeypatch.setattr(dp.jax, "process_count", lambda: 2)
+    log = []
+    _ladder_fakes(monkeypatch, log, fail_compact=True)
+    params = nms.init_params("NMS-1")
+    mesh = make_mesh(2)
+    with mesh:
+        step = sharded_fused_mc_step(
+            code, "NMS-1", 12, 3.0, per_device_batch=256, mesh=mesh,
+            base_seed=0,
+        )
+        with pytest.raises(Exception, match="scoped vmem"):
+            step(params, jax.random.PRNGKey(0), 0)
+    assert log == ["compact"]  # no demotion walk happened
+
+
+def test_multiproc_mesh_retries_transient_once(monkeypatch, code):
+    """A transient TPU error re-issues the identical compiled program once
+    even under >1 process (uniform across hosts), instead of aborting the
+    pod sweep (r3 ADVICE)."""
+    import warnings as _w
+
+    import jax.numpy as jnp
+
+    import short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas as ep
+    import short_ldpc_decoding_osd_tpu.parallel.data_parallel as dp
+    from short_ldpc_decoding_osd_tpu.parallel import sharded_fused_mc_step
+
+    monkeypatch.setattr(dp.jax, "process_count", lambda: 2)
+    calls = {"n": 0}
+
+    def flaky_compact(code_, p, variant, iters, snr_db, batch, seed, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("UNAVAILABLE: TPU backend error (simulated)")
+        return jnp.stack([jnp.float32(batch), 1.0, 2.0, 1.0, 0.0, 0.0])
+
+    monkeypatch.setattr(ep, "fused_counters_edge_compact", flaky_compact)
+    params = nms.init_params("NMS-1")
+    mesh = make_mesh(2)
+    with mesh, _w.catch_warnings():
+        _w.simplefilter("ignore")
+        step = sharded_fused_mc_step(
+            code, "NMS-1", 12, 3.0, per_device_batch=256, mesh=mesh,
+            base_seed=0,
+        )
+        c, _ = step(params, jax.random.PRNGKey(0), 0)
+    assert calls["n"] == 2  # failed once, retried the same rung, succeeded
+    assert int(c[0]) == 2 * 256
+
+
 def test_sharded_dl_osd_step_matches_single_device(code):
     """The mesh OSD step's psum'd counters equal the single-device
     sliding_osd reduction on the same batch."""
