@@ -300,6 +300,206 @@ def run_ref(args):
 
 
 # ---------------------------------------------------------------------------
+# production sliding-walk cross-check (round-3 VERDICT item 1 / next item 3):
+# the framework's vectorized phase-2 walk vs the reference's own serial
+# ``sliding_osd`` on IDENTICAL captured failures, with the framework's
+# decoding path, DIA refinement and stopper weights injected.  Deterministic
+# given those inputs -> per-frame S/F, window-count and TEP-complexity must
+# agree (tolerance only on float ties near the stopper margin / min ties).
+# Ref: DL_OSD_Testing_serial/ordered_statistics_decoding.py:141-220,
+#      nn_testing.py:159-256.
+# ---------------------------------------------------------------------------
+
+
+def run_fw_walk(args):
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import jax.numpy as jnp
+
+    from short_ldpc_decoding_osd_tpu.codes import get_code
+    from short_ldpc_decoding_osd_tpu.mc import run_nms_mc
+    from short_ldpc_decoding_osd_tpu.models import (
+        make_dia,
+        stopper_engine_params,
+    )
+    from short_ldpc_decoding_osd_tpu.osd import engine, segments
+    from short_ldpc_decoding_osd_tpu.pipeline.recipe import RunDir
+
+    code = get_code("ccsds_128_64")
+    run = RunDir(args.walk_run)
+    nms_params = run.load_pickle("nms_params.pkl")
+    dia_params = run.load_pickle("dia_model_cnn.pkl")
+    s_params = run.load_pickle("stopper_params.pkl")
+    path = run.load_json("decoding_path.json")["path"]
+    window, soft_margin, threshold_sum = 5, 0.9, 3
+    num_iters = 12
+
+    stats, fb = run_nms_mc(
+        code, nms_params, "NMS-1", num_iters, args.osd_snr, batch=4096,
+        error_budget=args.walk_frames * 40, max_frames=10**7, seed=909,
+        capture_failures=True, capture_limit=args.walk_frames,
+    )
+    traj = fb.trajectories[: args.walk_frames]
+    labels = fb.labels[: args.walk_frames]
+    log(f"captured {len(traj)} failures at {args.osd_snr} dB")
+
+    model = make_dia("model_cnn", code.n, num_iters + 1)
+    blocks, acc = segments.build_tep_blocks(path, code.k, 6)
+    teps, mask, bounds = segments.pack_tep_chunks(blocks)
+    fcn = stopper_engine_params(s_params)
+    osd_step = engine.make_dl_osd_step(
+        model, code.h_osd, code.k, window=window, soft_margin=soft_margin,
+        bounds=bounds,
+    )
+    out, refined = osd_step(
+        dia_params, jnp.asarray(traj, jnp.float32),
+        jnp.asarray(labels, jnp.int32), jnp.asarray(teps), jnp.asarray(mask),
+        jnp.asarray(acc, jnp.int32), fcn,
+    )
+    np.savez_compressed(
+        os.path.join(args.out_dir, "walk_failures.npz"),
+        traj=traj.astype(np.float32), labels=labels,
+        refined=np.asarray(refined, np.float32),
+        teps=np.concatenate(blocks).astype(np.int8),
+        block_sizes=np.asarray([len(b) for b in blocks], np.int64),
+        acc=np.asarray(acc, np.int64),
+        w1=np.asarray(fcn["w1"], np.float32),
+        w2=np.asarray(fcn["w2"], np.float32),
+        window=window, soft_margin=soft_margin,
+        threshold_sum=threshold_sum, num_iterations=num_iters,
+        fw_success=np.asarray(out["success"]),
+        fw_strict=np.asarray(out["strict_success"]),
+        fw_window_num=np.asarray(out["window_num"]),
+        fw_complexity=np.asarray(out["complexity"]),
+        fw_global_min=np.asarray(out["global_min"], np.float64),
+        fw_truth=np.asarray(
+            engine.prepare(refined, jnp.asarray(traj[:, 0]),
+                           jnp.asarray(labels, jnp.int32),
+                           jnp.asarray(code.h_osd), code.k).truth_discrepancy,
+            np.float64,
+        ),
+    )
+    log(f"fw walk done -> {args.out_dir}/walk_failures.npz "
+        f"(success {int(np.asarray(out['success']).sum())}/{len(traj)})")
+
+
+def run_ref_walk(args):
+    blob = np.load(os.path.join(args.out_dir, "walk_failures.npz"))
+    traj, labels, refined = blob["traj"], blob["labels"], blob["refined"]
+    sizes = blob["block_sizes"]
+    teps_flat = blob["teps"].astype(np.int64)
+    teps_list = np.split(teps_flat, np.cumsum(sizes)[:-1])
+    acc = blob["acc"]
+    w1, w2 = blob["w1"], blob["w2"]
+    n_frames, list_length, n = traj.shape
+
+    with ref_stage("Training_data_gen_128"):
+        import fill_matrix_info
+
+        rc = fill_matrix_info.Code(ALIST)
+
+    with ref_stage("DL_OSD_Testing_serial"):
+        import globalmap as GL
+
+        GL.set_map("code_parameters", rc)
+        GL.set_map("num_iterations", int(blob["num_iterations"]))
+        GL.set_map("threshold_sum", int(blob["threshold_sum"]))
+        GL.set_map("sliding_win_width", int(blob["window"]))
+        GL.set_map("soft_margin", float(blob["soft_margin"]))
+        import ordered_statistics_decoding as ref_osd_mod
+        import tensorflow as tf
+
+        ref_osd = ref_osd_mod.osd(rc)
+        tw1 = tf.constant(w1)
+        tw2 = tf.constant(w2)
+
+        def fcn(x):
+            # the framework-trained Predict_outlier_light: two bias-free
+            # dense layers, softmax head (nn_net.py:136-148)
+            return tf.nn.softmax(
+                tf.matmul(tf.matmul(tf.cast(x, tf.float32), tw1), tw2)
+            )
+
+        succ = np.zeros(n_frames, np.int64)
+        win_num = np.zeros(n_frames, np.int64)
+        cplx = np.zeros(n_frames, np.int64)
+        t0 = time.time()
+        for i in range(n_frames):
+            s, f, w, c = ref_osd.sliding_osd(
+                fcn,
+                tf.constant(traj[i]),  # (T+1, n) rows for ONE frame
+                tf.constant(refined[i : i + 1]),
+                tf.constant(labels[i : i + 1].astype(np.int64)),
+                (teps_list, acc),
+            )
+            succ[i], win_num[i], cplx[i] = int(s), int(w), int(c)
+        print()
+        log(f"ref walk: {int(succ.sum())}/{n_frames} success "
+            f"({time.time()-t0:.0f}s)")
+    with open(os.path.join(args.out_dir, "ref_walk.json"), "wt") as fh:
+        json.dump({
+            "success": succ.tolist(),
+            "window_num": win_num.tolist(),
+            "complexity": cplx.tolist(),
+        }, fh, indent=1)
+    log(f"ref walk done -> {args.out_dir}/ref_walk.json")
+
+
+def run_combine_walk(args):
+    blob = np.load(os.path.join(args.out_dir, "walk_failures.npz"))
+    with open(os.path.join(args.out_dir, "ref_walk.json")) as fh:
+        ref = json.load(fh)
+    fw_s = blob["fw_success"].astype(bool)
+    fw_w = blob["fw_window_num"].astype(np.int64)
+    fw_c = blob["fw_complexity"].astype(np.int64)
+    ref_s = np.asarray(ref["success"], bool)
+    ref_w = np.asarray(ref["window_num"], np.int64)
+    ref_c = np.asarray(ref["complexity"], np.int64)
+    n = len(fw_s)
+    dis_s = np.nonzero(fw_s != ref_s)[0]
+    dis_w = np.nonzero(fw_w != ref_w)[0]
+    dis_c = np.nonzero(fw_c != ref_c)[0]
+    # float-tie analysis for any S/F disagreement: the reference judges
+    # success by exact f32 equality global_min == truth; the framework uses
+    # a relative tolerance — disagreements within that band are reduction-
+    # order ties, not semantic differences
+    ties = []
+    for i in dis_s:
+        gap = abs(blob["fw_global_min"][i] - blob["fw_truth"][i])
+        rel = gap / max(blob["fw_truth"][i], 1.0)
+        ties.append({"frame": int(i), "rel_gap": float(rel)})
+    out = {
+        "frames": int(n),
+        "fw_success": int(fw_s.sum()),
+        "ref_success": int(ref_s.sum()),
+        "success_disagreements": int(len(dis_s)),
+        "window_num_disagreements": int(len(dis_w)),
+        "complexity_disagreements": int(len(dis_c)),
+        "total_windows": {"fw": int(fw_w.sum()), "ref": int(ref_w.sum())},
+        "total_teps": {"fw": int(fw_c.sum()), "ref": int(ref_c.sum())},
+        "success_tie_analysis": ties,
+        "disagreement_frames": {
+            "success": dis_s.tolist(),
+            "window_num": dis_w.tolist()[:50],
+            "complexity": dis_c.tolist()[:50],
+        },
+    }
+    path = os.path.join(args.out_dir, "walkparity.json")
+    with open(path, "wt") as fh:
+        json.dump(out, fh, indent=1)
+    log(json.dumps({k: out[k] for k in (
+        "frames", "fw_success", "ref_success", "success_disagreements",
+        "window_num_disagreements", "complexity_disagreements",
+        "total_windows", "total_teps")}))
+    log(f"wrote {path}")
+
+
+# ---------------------------------------------------------------------------
 # combine
 # ---------------------------------------------------------------------------
 
@@ -376,7 +576,10 @@ def run_combine(args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--mode", choices=["fw", "ref", "combine", "throughput"], required=True
+        "--mode",
+        choices=["fw", "ref", "combine", "throughput",
+                 "fw-walk", "ref-walk", "combine-walk"],
+        required=True,
     )
     ap.add_argument("--out-dir", default="runs/refparity")
     ap.add_argument("--ref-frames", type=int, default=40960)
@@ -385,10 +588,14 @@ def main():
     ap.add_argument("--snrs", default="2.5,3.0,3.5")
     ap.add_argument("--osd-snr", type=float, default=3.0)
     ap.add_argument("--osd-failures", type=int, default=96)
+    ap.add_argument("--walk-run", default="runs/r4_pipeline",
+                    help="run dir with trained NMS/DIA/stopper + path")
+    ap.add_argument("--walk-frames", type=int, default=128)
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
     {"fw": run_fw, "ref": run_ref, "combine": run_combine,
-     "throughput": run_throughput}[args.mode](args)
+     "throughput": run_throughput, "fw-walk": run_fw_walk,
+     "ref-walk": run_ref_walk, "combine-walk": run_combine_walk}[args.mode](args)
 
 
 if __name__ == "__main__":

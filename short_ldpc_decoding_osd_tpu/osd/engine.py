@@ -189,10 +189,17 @@ def _block_disc_scan(prep: PreparedBatch, teps, mask, k: int, post=None):
             preferred_element_type=jnp.float32,
         )
         a = prods - 2.0 * jnp.floor(prods * 0.5)
+        # the WEIGHTED contractions run full-f32: the default TPU matmul
+        # truncates operands to bf16 (~1e-3 relative noise on the
+        # discrepancy), enough to flip success-proxy/stopper-margin ties vs
+        # the reference's f32 sums (walk-parity frames 264/269/496, r4);
+        # these are k-times smaller than the parity einsum above, so the
+        # cost is negligible
         disc = (
             c0[:, None]
-            + jnp.einsum("bm,bmn->bn", u_l, a)
-            + u_m @ tep_f.T
+            + jnp.einsum("bm,bmn->bn", u_l, a,
+                         precision=jax.lax.Precision.HIGHEST)
+            + jnp.matmul(u_m, tep_f.T, precision=jax.lax.Precision.HIGHEST)
         )
         disc = jnp.where(valid[None, :], disc, _BIG)
         return None, disc if post is None else post(disc)
@@ -203,9 +210,14 @@ def _block_disc_scan(prep: PreparedBatch, teps, mask, k: int, post=None):
 
 def stopper_apply(fcn_params: dict, x: jnp.ndarray) -> jnp.ndarray:
     """Sliding-window stopper FCN: Dense(w+1 linear) -> Dense(2 softmax),
-    no biases (``nn_net.py:136-148``)."""
-    hidden = x @ fcn_params["w1"]
-    return jax.nn.softmax(hidden @ fcn_params["w2"], axis=-1)
+    no biases (``nn_net.py:136-148``).  Full-f32 matmuls: bf16 operand
+    truncation puts ~1e-3 noise on P[stop], enough to flip near-margin
+    stops vs the reference's f32 walk (tiny (w+1)-wide contractions)."""
+    hi = jax.lax.Precision.HIGHEST
+    hidden = jnp.matmul(x, fcn_params["w1"], precision=hi)
+    return jax.nn.softmax(
+        jnp.matmul(hidden, fcn_params["w2"], precision=hi), axis=-1
+    )
 
 
 @partial(jax.jit, static_argnames=("window", "soft_margin"))
@@ -389,7 +401,13 @@ def pruned_batch_osd(
     # estimated LRB flips vs the TEP-0 baseline
     prods = jnp.einsum("bmk,nk->bmn", m_f32, tep_f, preferred_element_type=jnp.float32)
     a = prods - 2.0 * jnp.floor(prods * 0.5)  # (B, m, N)
-    disc = c0[:, None] + jnp.einsum("bm,bmn->bn", u_l, a) + u_m @ tep_f.T
+    # weighted contractions full-f32 (see _block_disc_scan)
+    disc = (
+        c0[:, None]
+        + jnp.einsum("bm,bmn->bn", u_l, a,
+                     precision=jax.lax.Precision.HIGHEST)
+        + jnp.matmul(u_m, tep_f.T, precision=jax.lax.Precision.HIGHEST)
+    )
     if prune:
         # divergence of estimated LRB vs the *updated* hard LRB on focus slots
         jump_point = m - 4 * threshold_sum

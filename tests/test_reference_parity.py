@@ -353,3 +353,86 @@ def test_nms_decoder_matches_reference_tf(ref_code, fw_code, raw_w):
         ref_synd.any(axis=1), np.asarray(st["detected_failure"]).astype(bool)
     )
     assert ref_synd.any(axis=1).sum() > 0  # the case actually has failures
+
+
+# ---------------------------------------------------------------------------
+# Stage 6: the production sliding WALK vs the reference's serial sliding_osd
+# (per-frame, deterministic — the full-scale TPU instance of this check is
+# scripts/reference_parity.py --mode fw-walk/ref-walk, docs/REFPARITY.md §6)
+# ---------------------------------------------------------------------------
+
+
+def test_sliding_walk_matches_reference_sliding_osd(ref_code, fw_code):
+    import jax.numpy as jnp
+
+    from short_ldpc_decoding_osd_tpu.osd import engine, segments
+
+    _, rc = ref_code
+    code = fw_code
+    rng = np.random.default_rng(11)
+    batch, t1 = 24, 13
+    n, k = code.n, code.k
+    msgs = rng.integers(0, 2, (batch, k))
+    words = (msgs @ code.g % 2).astype(np.int64)
+    noise = rng.normal(1.0, 0.9, (batch, t1, n))
+    traj = np.where(words[:, None, :] == 0, noise, -noise).astype(np.float32)
+    # stand-in refined metric (walk parity needs identical inputs, not a DIA)
+    refined = (traj[:, -1] * rng.uniform(0.8, 1.2, (batch, n))).astype(
+        np.float32
+    )
+    # stopper weights scaled so a mix of frames stops early / walks through
+    w1 = rng.normal(0, 0.6, (6, 6)).astype(np.float32)
+    w2 = rng.normal(0, 0.6, (6, 2)).astype(np.float32)
+    window, soft_margin, threshold_sum = 5, 0.7, 3
+    path = [[0] * 6, [1, 0, 0, 0, 0, 0], [0, 1, 0, 0, 0, 0],
+            [0, 0, 1, 0, 0, 0], [1, 1, 0, 0, 0, 0], [0, 0, 0, 1, 0, 0],
+            [2, 0, 0, 0, 0, 0], [0, 0, 0, 0, 1, 0], [1, 0, 1, 0, 0, 0],
+            [0, 0, 0, 0, 0, 1]]
+
+    blocks, acc = segments.build_tep_blocks(path, k, 6)
+    teps, mask, bounds = segments.pack_tep_chunks(blocks)
+    fcn = {"w1": jnp.asarray(w1), "w2": jnp.asarray(w2)}
+    prep = engine.prepare(
+        jnp.asarray(refined), jnp.asarray(traj[:, 0]),
+        jnp.asarray(words, jnp.int32), jnp.asarray(code.h_osd), k,
+    )
+    out = engine.sliding_osd(
+        prep, jnp.asarray(teps), jnp.asarray(mask),
+        jnp.asarray(acc, jnp.int32), fcn, k,
+        window=window, soft_margin=soft_margin, bounds=bounds,
+    )
+    fw_success = np.asarray(out["success"])
+    fw_windows = np.asarray(out["window_num"])
+    fw_complexity = np.asarray(out["complexity"])
+
+    with ref_stage("DL_OSD_Testing_serial"):
+        import globalmap as GL
+
+        GL.set_map("code_parameters", rc)
+        GL.set_map("num_iterations", t1 - 1)
+        GL.set_map("threshold_sum", threshold_sum)
+        GL.set_map("sliding_win_width", window)
+        GL.set_map("soft_margin", soft_margin)
+        import ordered_statistics_decoding as ref_osd_mod
+        import tensorflow as tf
+
+        ref_osd = ref_osd_mod.osd(rc)
+        tw1, tw2 = tf.constant(w1), tf.constant(w2)
+
+        def fcn_tf(x):
+            return tf.nn.softmax(
+                tf.matmul(tf.matmul(tf.cast(x, tf.float32), tw1), tw2)
+            )
+
+        teps_list = [b.astype(np.int64) for b in blocks]
+        for i in range(batch):
+            s, f, w, c = ref_osd.sliding_osd(
+                fcn_tf,
+                tf.constant(traj[i]),
+                tf.constant(refined[i : i + 1]),
+                tf.constant(words[i : i + 1]),
+                (teps_list, acc),
+            )
+            assert bool(fw_success[i]) == (int(s) == 1), f"frame {i} S/F"
+            assert int(fw_windows[i]) == int(w), f"frame {i} window count"
+            assert int(fw_complexity[i]) == int(c), f"frame {i} TEP count"
