@@ -31,7 +31,16 @@ MODE = os.environ.get("BENCH_MODE", "bf16")
 # via one-hot MXU gathers and resumed) — same-seed frame_err within 4/2.1M
 # of the one-shot kernel; "oneshot" = fixed 12 iterations for every frame.
 # Frames that overflow the capacity keep their T1 decision and are counted
-# in compact_overflow (0 at this operating point).
+# in compact_overflow (~24 per 2.1M-frame step at this operating point —
+# schedule (4, 0.375) runs tighter than the harness default (4, 0.40625)).
+# DECIDED against redoing overflowed steps one-shot here (r3 VERDICT item
+# 8): nearly every 2.1M-frame step has a few overflows, so a redo policy
+# degenerates to compact+oneshot per step (~13.8M cw/s) — slower than pure
+# one-shot (measured r4: oneshot 26.5M = 0.92x compact 29.0M) — and bench
+# measures KERNEL throughput; the FER-bearing paths (mc/harness.py) are the
+# that redo overflowed steps, and they use the roomier default schedule
+# where overflow is 0.  The ~24/2.1M T1-decision bias affects only the
+# diagnostic sample_fer field, not the throughput metric.
 KERNEL = os.environ.get("BENCH_KERNEL", "compact")
 T1 = int(os.environ.get("BENCH_T1", 4))
 FRAC = float(os.environ.get("BENCH_FRAC", 0.375))
@@ -127,18 +136,38 @@ def tpu_nms_throughput(code) -> tuple[float, dict]:
     # is paid once, not per step (the device runs the steps back-to-back)
     c = np.asarray(counters)
     dt = time.perf_counter() - t0
+    rate = STEPS * BATCH / dt
+    # Roofline attribution: the edge kernel's FLOPs are the two one-hot MXU
+    # passes per iteration (scatter (dc*m, n) and gather (n, dc*m) matmuls)
+    # = 2 * 2*dc*m*n FLOP / frame / iteration.  Reported at the one-shot
+    # ITERS count — an effective-work number: the compact kernel executes
+    # FEWER hardware FLOPs (converged frames drop out after T1) to decode
+    # the same frames, so its "MFU" here measures decode-work-per-peak, not
+    # silicon occupancy.  v5e bf16 peak: 197 TFLOP/s.
+    h = code.h
+    dc = int(h.sum(axis=1).max())
+    m, n = h.shape
+    flops_per_frame = 4.0 * dc * m * n * ITERS
+    eff_tflops = rate * flops_per_frame / 1e12
+    dev = str(jax.devices()[0])
+    peak = 197.0 if "v5 lite" in dev or "v5e" in dev else None
     info = {
-        "device": str(jax.devices()[0]),
+        "device": dev,
         "batch": BATCH,
         "iters": ITERS,
         "kernel": KERNEL,
         "snr_db": SNR_DB,
         "sample_fer": float(c[1]) / BATCH,
+        "flops_per_frame_model": flops_per_frame,
+        "effective_tflops": round(eff_tflops, 1),
+        "mfu_pct_vs_bf16_peak": (
+            round(100.0 * eff_tflops / peak, 1) if peak else None
+        ),
     }
     if KERNEL == "compact":
         info["t1"] = T1
         info["compact_overflow"] = float(c[5])
-    return STEPS * BATCH / dt, info
+    return rate, info
 
 
 def main():

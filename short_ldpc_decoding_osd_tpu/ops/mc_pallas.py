@@ -68,6 +68,25 @@ def _standard_normals(bt: int, n: int):
     return jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=1)
 
 
+# SLDPC_MSG_HARVEST is read ONCE at import: the choice is baked into every
+# compiled kernel but is not part of any jit cache key, so flipping the env
+# var mid-process would silently keep kernels compiled for the other sampler.
+# ``msg_harvest_enabled`` asserts against exactly that (r3 ADVICE).
+_MSG_HARVEST = os.environ.get("SLDPC_MSG_HARVEST", "1") != "0"
+
+
+def msg_harvest_enabled() -> bool:
+    cur = os.environ.get("SLDPC_MSG_HARVEST", "1") != "0"
+    if cur != _MSG_HARVEST:
+        raise RuntimeError(
+            f"SLDPC_MSG_HARVEST changed after import "
+            f"({_MSG_HARVEST} -> {cur}); the sampler choice is baked into "
+            "compiled kernels at import time — set the env var before "
+            "starting the process"
+        )
+    return _MSG_HARVEST
+
+
 def _sample_msg_and_normals(bt: int, n: int, k: int):
     """Draw ``(bt, k)`` message bits and ``(bt, n)`` standard normals.
 
@@ -76,11 +95,12 @@ def _sample_msg_and_normals(bt: int, n: int, k: int):
     first ``k`` noise words instead of paying a separate ``(bt, k)`` PRNG
     draw — distinct bit positions of one word are independent for the
     counter-based on-core generator, and the FER agreement with the
-    separate-draw sampler is validated statistically
-    (scripts/fer_mode_check.py --compare harvest).  ``SLDPC_MSG_HARVEST=0``
-    restores the separate draw (trace-time switch; new jit cache key NOT
-    created — run one choice per process)."""
-    harvest = os.environ.get("SLDPC_MSG_HARVEST", "1") != "0"
+    separate-draw sampler is validated statistically over 8.4M frames/arm
+    (scripts/fer_mode_check.py --compare-env, z = +1.62; see ROUND3.md).
+    ``SLDPC_MSG_HARVEST=0`` (set BEFORE process start) restores the
+    separate draw; FER curves where the per-word bit-independence
+    assumption must not be load-bearing should use it."""
+    harvest = msg_harvest_enabled()
     if not harvest:
         # msg drawn FIRST: reproduces the pre-harvest kernels' same-seed
         # streams exactly
@@ -216,6 +236,7 @@ def mc_fused(
 ):
     """Run `batch` frames fully in-kernel; returns summed counter vector
     [frames, frame_errors, bit_errors, detected, undetected]."""
+    msg_harvest_enabled()  # assert the import-time sampler choice holds
     m, n = h.shape
     grid = (batch // block_frames,)
     kernel = functools.partial(_mc_kernel, num_iterations)

@@ -457,6 +457,9 @@ def mc_fused_edge(
     """Fully fused Monte-Carlo step with the edge-compact decoder; returns
     summed counters [frames, frame_errors, bit_errors, detected, undetected].
     Drop-in for ``mc_pallas.mc_fused`` (``h`` must be concrete)."""
+    from .mc_pallas import msg_harvest_enabled
+
+    msg_harvest_enabled()  # assert the import-time sampler choice holds
     scatter, gather, bias, slab_has_dummy = edge_layout_stacked(h)
     return _mc_fused_edge_jit(
         weights_vec, jnp.asarray(seed, jnp.int32).reshape((1,)),
@@ -793,8 +796,10 @@ def fused_counters_edge_compact(code, params, variant, num_iterations, snr_db,
     used (backward-compatible form).  Iterations after the last stage run on
     the innermost sub-block."""
     from ..channel import sigma_for_snr
+    from .mc_pallas import msg_harvest_enabled
     from .nms import _weights
 
+    msg_harvest_enabled()  # assert the import-time sampler choice holds
     w_vc, w_chk, w_marg = _weights(params, variant)
     vec = jnp.stack([w_vc, w_chk, w_marg]).astype(jnp.float32)
     scatter, gather, bias, slab_has_dummy = edge_layout_stacked(code.h)

@@ -101,3 +101,18 @@ def test_profiling_utils(code, tmp_path):
     log.log({"metric": 2})
     lines = open(log.path).read().strip().splitlines()
     assert len(lines) == 2
+
+
+def test_msg_harvest_flip_detected(monkeypatch):
+    """SLDPC_MSG_HARVEST is baked into compiled kernels at import; flipping
+    it mid-process must raise, not silently keep the other sampler."""
+    import pytest
+
+    from short_ldpc_decoding_osd_tpu.ops import mc_pallas
+
+    assert mc_pallas.msg_harvest_enabled() == mc_pallas._MSG_HARVEST
+    monkeypatch.setenv(
+        "SLDPC_MSG_HARVEST", "0" if mc_pallas._MSG_HARVEST else "1"
+    )
+    with pytest.raises(RuntimeError, match="changed after import"):
+        mc_pallas.msg_harvest_enabled()
