@@ -157,7 +157,9 @@ def stage_harvest_failures(cfg: RecipeConfig, run: RunDir, nms_params, log=print
         f"  harvested {len(fb.trajectories)} failures from {stats.frames} frames "
         f"(FER {stats.fer:.3e})"
     )
-    np.savez_compressed(
+    # uncompressed: ~130 MB regenerable scratch (gitignored); gzip cost
+    # ~25 s of the pipeline's wall time for nothing
+    np.savez(
         run.path("train_failures.npz"),
         traj=fb.trajectories,
         labels=fb.labels,

@@ -70,43 +70,63 @@ def train_dia(
             params, opt_state = blob["params"], blob["opt_state"]
             start_step += 1
 
-    @jax.jit
-    def train_step(params, opt_state, traj, labs):
-        def loss_fn(p):
-            refined = model.refine(p, traj)
-            return dia_mod.dia_loss(refined, labs)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
-
     n_total = len(trajectories)
     num_batches = max(1, n_total // cfg.batch)
+    eff_batch = min(cfg.batch, n_total)
+    # dataset resident on device; steps run in 100-step blocks inside ONE
+    # jitted scan (per-step dispatch over the device tunnel dominated this
+    # stage's wall time — see nms_train.train_block).  The dataset is a
+    # TRACED ARGUMENT, not a closure capture: a captured device array is
+    # embedded in the executable as a constant (a 282 MB cache entry and a
+    # ~10 min compile for the 20k-failure set, measured r4).
+    traj_dev = jnp.asarray(trajectories, jnp.float32)
+    labs_dev = jnp.asarray(labels, jnp.float32)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("count",))
+    def train_block(params, opt_state, traj_all, labs_all, step0, count):
+        def one_step(carry, step_idx):
+            params, opt_state = carry
+            b = step_idx % num_batches
+            traj = jax.lax.dynamic_slice_in_dim(
+                traj_all, b * eff_batch, eff_batch
+            )
+            labs = jax.lax.dynamic_slice_in_dim(
+                labs_all, b * eff_batch, eff_batch
+            )
+
+            def loss_fn(p):
+                refined = model.refine(p, traj)
+                return dia_mod.dia_loss(refined, labs)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state), step0 + jnp.arange(count)
+        )
+        return params, opt_state, losses
+
+    total = min(cfg.termination_step, cfg.epochs * num_batches)
     history = []
     step = start_step
-    done = False
-    for epoch in range(cfg.epochs):
-        for b in range(num_batches):
-            lo, hi = b * cfg.batch, min((b + 1) * cfg.batch, n_total)
-            traj = jnp.asarray(trajectories[lo:hi], jnp.float32)
-            labs = jnp.asarray(labels[lo:hi], jnp.float32)
-            params, opt_state, loss = train_step(params, opt_state, traj, labs)
-            step += 1
-            if step % 100 == 0:
-                rec = {"step": step, "loss": float(loss)}
-                history.append(rec)
-                if log_fn:
-                    log_fn(rec)
-                if ckpt_dir:
-                    ckpt_lib.save(
-                        ckpt_dir, step, {"params": params, "opt_state": opt_state}
-                    )
-            if step >= cfg.termination_step:
-                done = True
-                break
-        if done:
-            break
+    while step < total:
+        count = min(100, total - step)
+        params, opt_state, losses = train_block(
+            params, opt_state, traj_dev, labs_dev, jnp.asarray(step), count
+        )
+        step += count
+        rec = {"step": step, "loss": float(losses[-1])}
+        history.append(rec)
+        if log_fn:
+            log_fn(rec)
+        if ckpt_dir:
+            ckpt_lib.save(
+                ckpt_dir, step, {"params": params, "opt_state": opt_state}
+            )
     if ckpt_dir:
         ckpt_lib.save(ckpt_dir, step, {"params": params, "opt_state": opt_state})
     return model, params, history

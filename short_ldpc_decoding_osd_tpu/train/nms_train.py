@@ -14,6 +14,7 @@ min(total_steps, 1200)."""
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Callable
 
@@ -98,12 +99,12 @@ def train_nms(
         ber = jnp.mean(st["bit_errors"].astype(jnp.float32)) / code.n
         return loss, (fer, ber)
 
-    @jax.jit
-    def train_step(p, opt_st, step_idx):
+    def one_step(carry, step_idx):
+        p, opt_st = carry
         batch_id = step_idx % cfg.num_batches
 
-        def accum(carry, micro):
-            grads_sum, loss_sum, fer_sum, ber_sum = carry
+        def accum(acc, micro):
+            grads_sum, loss_sum, fer_sum, ber_sum = acc
             key = jax.random.fold_in(
                 jax.random.fold_in(data_key, batch_id), micro
             )
@@ -123,35 +124,50 @@ def train_nms(
         updates, opt_st = tx.update(grads, opt_st, p)
         p = optax.apply_updates(p, updates)
         p = _project_nonneg(p, variant)
-        return p, opt_st, loss / mult, fer / mult, ber / mult
+        return (p, opt_st), (loss / mult, fer / mult, ber / mult)
+
+    # steps run in print_interval-sized blocks inside ONE jitted scan: the
+    # per-step host dispatch over the device tunnel (~25-45 ms) dominated
+    # the training stages' wall time (r4; 1200 steps of microscopic decode
+    # work took ~55 s), and logging/checkpointing only happens at block
+    # boundaries anyway
+    @functools.partial(jax.jit, static_argnames=("count",))
+    def train_block(p, opt_st, step0, count):
+        (p, opt_st), recs = jax.lax.scan(
+            one_step, (p, opt_st), step0 + jnp.arange(count)
+        )
+        return p, opt_st, recs
 
     t0 = time.time()
     history = {"loss": [], "fer": [], "ber": []}
     end_step = cfg.termination_step
-    for step_idx in range(start_step, end_step):
-        params, opt_state, loss, fer, ber = train_step(
-            params, opt_state, jnp.asarray(step_idx)
+    block = max(1, cfg.print_interval)
+    step_idx = start_step
+    while step_idx < end_step:
+        count = min(block, end_step - step_idx)
+        params, opt_state, (losses, fers, bers) = train_block(
+            params, opt_state, jnp.asarray(step_idx), count
         )
-        if (step_idx + 1) % cfg.print_interval == 0 or step_idx == end_step - 1:
-            rec = {
-                "step": step_idx + 1,
-                "loss": float(loss),
-                "fer": float(fer),
-                "ber": float(ber),
-                "elapsed_s": time.time() - t0,
-            }
-            history["loss"].append(rec["loss"])
-            history["fer"].append(rec["fer"])
-            history["ber"].append(rec["ber"])
-            if log_fn:
-                log_fn(rec)
-            if ckpt_dir:
-                ckpt_lib.save(
-                    ckpt_dir,
-                    step_idx,
-                    {"params": params, "opt_state": opt_state},
-                    extra={"variant": variant},
-                )
+        step_idx += count
+        rec = {
+            "step": step_idx,
+            "loss": float(losses[-1]),
+            "fer": float(fers[-1]),
+            "ber": float(bers[-1]),
+            "elapsed_s": time.time() - t0,
+        }
+        history["loss"].append(rec["loss"])
+        history["fer"].append(rec["fer"])
+        history["ber"].append(rec["ber"])
+        if log_fn:
+            log_fn(rec)
+        if ckpt_dir:
+            ckpt_lib.save(
+                ckpt_dir,
+                step_idx - 1,
+                {"params": params, "opt_state": opt_state},
+                extra={"variant": variant},
+            )
     summary = {
         "steps": end_step,
         "final_loss": history["loss"][-1] if history["loss"] else None,

@@ -166,38 +166,43 @@ def train_stopper(
     tx = staircase_adam(cfg.learning_rate, cfg.decay_steps, cfg.decay_rate, cfg.clip_norm)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, opt_state, x, oh, w):
-        def loss_fn(p):
-            probs = model.apply(p, x)
-            # L2 regularization on the first layer (reference kernel_regularizer)
-            reg = 0.01 * jnp.sum(jnp.square(p["params"]["dense1"]["kernel"]))
-            return stopper_loss(probs, oh, w, cfg.penalty) + reg
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
-
     n = len(inputs)
     nb = max(1, n // cfg.batch)
-    it = 0
-    done = False
-    for epoch in range(cfg.epochs):
-        for b in range(nb):
-            lo, hi = b * cfg.batch, min((b + 1) * cfg.batch, n)
-            params, opt_state, loss = step(
-                params,
-                opt_state,
-                jnp.asarray(inputs[lo:hi]),
-                jnp.asarray(one_hot[lo:hi]),
-                jnp.asarray(weights[lo:hi]),
-            )
-            it += 1
-            if it >= cfg.termination_step:
-                done = True
-                break
-        if done:
-            break
+    eff_batch = min(cfg.batch, n)
+
+    # dataset resident on device as TRACED ARGUMENTS (closure-captured device
+    # arrays embed in the executable as constants — see dia_train); ALL steps
+    # run inside one jitted scan (the tiny (batch, window+1) matmuls are pure
+    # dispatch overhead otherwise)
+    def run_all(params, opt_state, x_all, oh_all, w_all, steps):
+        def one_step(carry, step_idx):
+            params, opt_state = carry
+            b = step_idx % nb
+            x = jax.lax.dynamic_slice_in_dim(x_all, b * eff_batch, eff_batch)
+            oh = jax.lax.dynamic_slice_in_dim(oh_all, b * eff_batch, eff_batch)
+            w = jax.lax.dynamic_slice_in_dim(w_all, b * eff_batch, eff_batch)
+
+            def loss_fn(p):
+                probs = model.apply(p, x)
+                # L2 regularization on the first layer (reference
+                # kernel_regularizer)
+                reg = 0.01 * jnp.sum(
+                    jnp.square(p["params"]["dense1"]["kernel"])
+                )
+                return stopper_loss(probs, oh, w, cfg.penalty) + reg
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        return jax.lax.scan(one_step, (params, opt_state), steps)
+
+    total = min(cfg.termination_step, cfg.epochs * nb)
+    (params, opt_state), losses = jax.jit(run_all)(
+        params, opt_state, jnp.asarray(inputs), jnp.asarray(one_hot),
+        jnp.asarray(weights), jnp.arange(total),
+    )
+    loss = losses[-1] if total else jnp.float32(0.0)
 
     # validation: S / F1 (late stop) / F2 (premature stop)
     probs = np.asarray(model.apply(params, jnp.asarray(inputs)))
