@@ -151,9 +151,8 @@ def block_discrepancy_minima(prep: PreparedBatch, teps: jnp.ndarray,
 
         minima, argmins = _block_disc_scan(prep, teps, mask, k, reduce_block)
         return jnp.transpose(minima), jnp.transpose(argmins)
-    disc = _block_disc_scan(prep, teps, mask, k, None)  # (C, B, chunk)
-    b = disc.shape[1]
-    flat = jnp.transpose(disc, (1, 0, 2)).reshape(b, -1)  # (B, C*chunk)
+    flat = _disc_flat_chunked(prep, teps, mask, k)  # (B, C*chunk)
+    b = flat.shape[0]
     big = jnp.full((b,), _BIG, flat.dtype)
     zero = jnp.zeros((b,), jnp.int32)
     # empty blocks (impossible per-segment weights) mirror the padded
@@ -168,6 +167,32 @@ def block_discrepancy_minima(prep: PreparedBatch, teps: jnp.ndarray,
         1,
     )
     return minima, argmins
+
+
+def _disc_flat_chunked(prep: PreparedBatch, teps, mask, k: int):
+    """(B, C*chunk) masked discrepancies for the dense-chunked TEP layout.
+
+    The ``u_l``-weighted parity term runs as the fused Pallas kernel on TPU
+    (``ops/osd_disc_pallas.py``): the XLA chunk scan materializes the
+    (B, m, chunk) parity intermediate in HBM (~1.6 GB of traffic, 2.3 ms at
+    B=4096 — the minima stage's entire cost); the kernel keeps it in VMEM.
+    Identical math; float reduction order differs (~1e-6 relative)."""
+    c0, u_l, u_m, _ = _discrepancy_terms(prep, k)
+    c, chunk, kk = teps.shape
+    t_flat = teps.reshape(c * chunk, kk)
+    from ..ops import osd_disc_pallas as odp
+
+    if jax.default_backend() == "tpu":
+        lterm = odp.lterm_pallas(prep.m_matrix, u_l, t_flat)
+    else:
+        lterm = odp.lterm_reference(prep.m_matrix, u_l, t_flat)
+    disc = (
+        c0[:, None]
+        + lterm
+        + jnp.matmul(u_m, t_flat.T.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)
+    )
+    return jnp.where(mask.reshape(-1)[None, :], disc, _BIG)
 
 
 def _block_disc_scan(prep: PreparedBatch, teps, mask, k: int, post=None):
