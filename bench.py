@@ -38,7 +38,7 @@ MODE = os.environ.get("BENCH_MODE", "bf16")
 # degenerates to compact+oneshot per step (~13.8M cw/s) — slower than pure
 # one-shot (measured r4: oneshot 26.5M = 0.92x compact 29.0M) — and bench
 # measures KERNEL throughput; the FER-bearing paths (mc/harness.py) are the
-# that redo overflowed steps, and they use the roomier default schedule
+# ones that redo overflowed steps, and they use the roomier default schedule
 # where overflow is 0.  The ~24/2.1M T1-decision bias affects only the
 # diagnostic sample_fer field, not the throughput metric.
 KERNEL = os.environ.get("BENCH_KERNEL", "compact")

@@ -312,35 +312,46 @@ def run_ref(args):
 
 
 def run_fw_walk(args):
-    import jax
+    from short_ldpc_decoding_osd_tpu.cli.main import _setup_compile_cache
 
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _setup_compile_cache()  # one cache policy with the CLI
 
     import jax.numpy as jnp
 
     from short_ldpc_decoding_osd_tpu.codes import get_code
     from short_ldpc_decoding_osd_tpu.mc import run_nms_mc
     from short_ldpc_decoding_osd_tpu.models import (
+        canonical_dia_name,
         make_dia,
         stopper_engine_params,
     )
     from short_ldpc_decoding_osd_tpu.osd import engine, segments
     from short_ldpc_decoding_osd_tpu.pipeline.recipe import RunDir
 
-    code = get_code("ccsds_128_64")
     run = RunDir(args.walk_run)
+    # the walk's operating point comes from the RUN's config — hardcoding
+    # it here would either crash on a non-default --window (stopper weight
+    # shapes) or silently cross-check the WRONG operating point
+    cfg = run.load_json("config.json")
+    if cfg.get("code_name", "ccsds_128_64") != "ccsds_128_64":
+        raise SystemExit(
+            "walk parity supports flagship ccsds_128_64 run dirs only "
+            "(the reference side loads the CCSDS alist)"
+        )
+    code = get_code(cfg.get("code_name", "ccsds_128_64"))
+    variant = cfg.get("variant", "NMS-1")
+    dia_name = canonical_dia_name(cfg.get("dia_model", "model_cnn"))
+    window = int(cfg.get("window", 5))
+    soft_margin = float(cfg.get("soft_margin", 0.9))
+    threshold_sum = int(cfg.get("threshold_sum", 3))
+    num_iters = int(cfg.get("num_iterations", 12))
     nms_params = run.load_pickle("nms_params.pkl")
-    dia_params = run.load_pickle("dia_model_cnn.pkl")
+    dia_params = run.load_pickle(f"dia_{dia_name}.pkl")
     s_params = run.load_pickle("stopper_params.pkl")
     path = run.load_json("decoding_path.json")["path"]
-    window, soft_margin, threshold_sum = 5, 0.9, 3
-    num_iters = 12
 
     stats, fb = run_nms_mc(
-        code, nms_params, "NMS-1", num_iters, args.osd_snr, batch=4096,
+        code, nms_params, variant, num_iters, args.osd_snr, batch=4096,
         error_budget=args.walk_frames * 40, max_frames=10**7, seed=909,
         capture_failures=True, capture_limit=args.walk_frames,
     )
@@ -348,8 +359,10 @@ def run_fw_walk(args):
     labels = fb.labels[: args.walk_frames]
     log(f"captured {len(traj)} failures at {args.osd_snr} dB")
 
-    model = make_dia("model_cnn", code.n, num_iters + 1)
-    blocks, acc = segments.build_tep_blocks(path, code.k, 6)
+    model = make_dia(dia_name, code.n, num_iters + 1)
+    blocks, acc = segments.build_tep_blocks(
+        path, code.k, int(cfg.get("num_segments", 6))
+    )
     teps, mask, bounds = segments.pack_tep_chunks(blocks)
     fcn = stopper_engine_params(s_params)
     osd_step = engine.make_dl_osd_step(

@@ -123,21 +123,24 @@ def _discrepancy_terms(prep: PreparedBatch, k: int):
     return c0, u_l, u_m, base_mrb
 
 
-@partial(jax.jit, static_argnames=("k", "bounds"))
+@partial(jax.jit, static_argnames=("k", "bounds", "use_kernel"))
 def block_discrepancy_minima(prep: PreparedBatch, teps: jnp.ndarray,
                              mask: jnp.ndarray, k: int,
-                             bounds: tuple | None = None):
+                             bounds: tuple | None = None,
+                             use_kernel: bool | None = None):
     """Per-block minima of the weighted discrepancy over all TEPs.
 
     Args:
       prep: prepared batch.
       teps: (P, Nmax, k) padded TEP blocks (0/1), or — when ``bounds`` is
         given — (C, chunk, k) dense chunks from ``segments.pack_tep_chunks``
-        (~4.5x less device work for the learned path; bitwise-identical
-        minima/argmins since per-TEP terms and within-block order are
-        unchanged).
+        (~4.5x less device work for the learned path; identical minima up
+        to float reduction order — the chunked path computes the
+        discrepancies by a different but mathematically equal association,
+        so near-tie argmins can differ at ~1e-6 relative).
       mask: (P, Nmax) validity (or (C, chunk)).
       bounds: static per-block (start, stop) flat indices for chunked mode.
+      use_kernel: chunked mode's fused-Pallas switch (None = on TPU).
 
     Returns:
       minima: (B, P) min weighted discrepancy per block.
@@ -151,7 +154,7 @@ def block_discrepancy_minima(prep: PreparedBatch, teps: jnp.ndarray,
 
         minima, argmins = _block_disc_scan(prep, teps, mask, k, reduce_block)
         return jnp.transpose(minima), jnp.transpose(argmins)
-    flat = _disc_flat_chunked(prep, teps, mask, k)  # (B, C*chunk)
+    flat = _disc_flat_chunked(prep, teps, mask, k, use_kernel)  # (B, C*chunk)
     b = flat.shape[0]
     big = jnp.full((b,), _BIG, flat.dtype)
     zero = jnp.zeros((b,), jnp.int32)
@@ -169,23 +172,33 @@ def block_discrepancy_minima(prep: PreparedBatch, teps: jnp.ndarray,
     return minima, argmins
 
 
-def _disc_flat_chunked(prep: PreparedBatch, teps, mask, k: int):
+def _disc_flat_chunked(prep: PreparedBatch, teps, mask, k: int,
+                       use_kernel: bool | None = None):
     """(B, C*chunk) masked discrepancies for the dense-chunked TEP layout.
 
-    The ``u_l``-weighted parity term runs as the fused Pallas kernel on TPU
-    (``ops/osd_disc_pallas.py``): the XLA chunk scan materializes the
-    (B, m, chunk) parity intermediate in HBM (~1.6 GB of traffic, 2.3 ms at
-    B=4096 — the minima stage's entire cost); the kernel keeps it in VMEM.
-    Identical math; float reduction order differs (~1e-6 relative)."""
+    With ``use_kernel`` (default: on TPU) the ``u_l``-weighted parity term
+    runs as the fused Pallas kernel (``ops/osd_disc_pallas.py``): the XLA
+    chunk scan keeps only a (B, m, chunk) parity intermediate per step but
+    serializes the chunks; the kernel keeps the intermediate in VMEM and
+    the grid parallel (fused dl_osd_step 6.53 -> 6.04 ms / 4096, r4).
+    Identical math; float reduction order differs (~1e-6 relative).
+    Otherwise the per-chunk scan serves (bounded peak memory on any
+    backend; a one-shot (B, m, C*chunk) einsum would blow up on a long
+    user-configured decoding path).  ``use_kernel`` is a TRACE-TIME choice;
+    the host-level compile-failure demotion lives in ``make_dl_osd_step``
+    (a Mosaic VMEM failure surfaces at outer-jit compile, outside any
+    in-graph try)."""
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    if not use_kernel:
+        disc = _block_disc_scan(prep, teps, mask, k, None)  # (C, B, chunk)
+        return jnp.transpose(disc, (1, 0, 2)).reshape(disc.shape[1], -1)
+    from ..ops import osd_disc_pallas as odp
+
     c0, u_l, u_m, _ = _discrepancy_terms(prep, k)
     c, chunk, kk = teps.shape
     t_flat = teps.reshape(c * chunk, kk)
-    from ..ops import osd_disc_pallas as odp
-
-    if jax.default_backend() == "tpu":
-        lterm = odp.lterm_pallas(prep.m_matrix, u_l, t_flat)
-    else:
-        lterm = odp.lterm_reference(prep.m_matrix, u_l, t_flat)
+    lterm = odp.lterm_pallas(prep.m_matrix, u_l, t_flat)
     disc = (
         c0[:, None]
         + lterm
@@ -482,6 +495,7 @@ def sliding_osd(
     soft_margin: float = 0.9,
     rel_tol: float = 1e-3,
     bounds: tuple | None = None,
+    use_kernel: bool | None = None,
 ):
     """Full batched DL-OSD evaluation of one failure batch.
 
@@ -491,11 +505,13 @@ def sliding_osd(
     reductions), TEP-complexity and window counts.
 
     With ``bounds`` (static, from ``segments.pack_tep_chunks``), ``teps`` /
-    ``mask`` are the dense chunked layout — bitwise-identical outputs for
-    ~4.5x less TEP-scan work on the learned path.
+    ``mask`` are the dense chunked layout — same outputs up to float
+    reduction order (see ``block_discrepancy_minima``) for ~4.5x less
+    TEP-scan work on the learned path.
     """
     minima, argmins = block_discrepancy_minima(prep, teps, mask, k,
-                                               bounds=bounds)
+                                               bounds=bounds,
+                                               use_kernel=use_kernel)
     walk = sliding_walk(minima, fcn_params, window=window, soft_margin=soft_margin)
     acc = jnp.asarray(acc_block_sizes, jnp.int32)
     complexity = acc[walk["deep_limit"]]
@@ -544,17 +560,44 @@ def make_dl_osd_step(model, h, k: int, window: int = 5,
     ``model`` is any DIA module exposing ``refine_fast`` (for the linear
     ``ConvBitwise`` this is the composed one-tap-filter form).  Returns
     ``step(dia_params, traj, labels, teps, mask, acc, fcn_params)`` ->
-    (sliding_osd outputs, refined)."""
+    (sliding_osd outputs, refined).
+
+    Per the repo-wide fused-kernel policy (mc/ladder.py): the fused
+    TEP-discrepancy Pallas rung is guarded at the HOST level — a Mosaic
+    lowering/VMEM failure (which surfaces at outer-jit compile, outside
+    any in-graph try) demotes permanently to the chunk-scan path instead
+    of killing the eval sweep; programming errors still raise."""
     h = jnp.asarray(h)
 
-    @jax.jit
-    def step(dia_params, traj, labels, teps, mask, acc, fcn_params):
-        refined = model.refine_fast(dia_params, traj)
-        prep = prepare(refined, traj[:, 0], labels, h, k)
-        out = sliding_osd(
-            prep, teps, mask, acc, fcn_params, k,
-            window=window, soft_margin=soft_margin, bounds=bounds,
-        )
-        return out, refined
+    def build(use_kernel):
+        @jax.jit
+        def step(dia_params, traj, labels, teps, mask, acc, fcn_params):
+            refined = model.refine_fast(dia_params, traj)
+            prep = prepare(refined, traj[:, 0], labels, h, k)
+            out = sliding_osd(
+                prep, teps, mask, acc, fcn_params, k,
+                window=window, soft_margin=soft_margin, bounds=bounds,
+                use_kernel=use_kernel,
+            )
+            return out, refined
 
-    return step
+        return step
+
+    fast = build(None)  # backend default: Pallas kernel on TPU
+    state = {"demoted": False, "slow": None}
+
+    def run(*args):
+        if not state["demoted"]:
+            from ..mc.harness import _attempt_fused
+
+            status, val = _attempt_fused(
+                lambda: fast(*args), "fused DL-OSD step"
+            )
+            if status == "ok":
+                return val
+            state["demoted"] = True  # permanent, like the MC ladder
+        if state["slow"] is None:
+            state["slow"] = build(False)
+        return state["slow"](*args)
+
+    return run

@@ -275,7 +275,10 @@ def sharded_dl_osd_step(
     (Reference has no distribution at all — SURVEY.md §2 "Parallel" rows.)
 
     Returns ``step(dia_params, traj, labels, teps, mask, acc, fcn_params)``
-    -> (4,) int64 counters, replicated."""
+    -> (4,) counters, replicated.  Unlike ``engine.make_dl_osd_step`` there
+    is NO host-level kernel demotion here: demotion is host-local state and
+    would diverge collective programs across hosts (same policy as the MC
+    ladder) — a fused-kernel failure on a mesh raises instead."""
     from ..osd import engine
 
     axis = mesh.axis_names[0]

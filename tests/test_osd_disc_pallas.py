@@ -68,3 +68,57 @@ def test_disc_flat_chunked_matches_scan_path(monkeypatch):
     )
     np.testing.assert_allclose(np.asarray(minima), np.asarray(ref_min),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_dl_osd_step_demotes_on_kernel_failure(monkeypatch, recwarn):
+    """A Mosaic lowering/VMEM failure of the fused TEP-discrepancy kernel
+    must demote make_dl_osd_step to the chunk-scan path, not kill the eval
+    sweep (same policy as the MC kernel ladder)."""
+    import warnings as _w
+
+    from short_ldpc_decoding_osd_tpu.codes import get_code
+    from short_ldpc_decoding_osd_tpu.models import make_dia
+    from short_ldpc_decoding_osd_tpu.osd import engine, segments
+
+    code = get_code("ccsds_128_64")
+    # force the TPU default so the fast path traces lterm_pallas; on the
+    # CPU backend that fails with the real "Only interpret mode" Mosaic
+    # error — exactly the demote class
+    monkeypatch.setattr(engine.jax, "default_backend", lambda: "tpu")
+
+    rng = np.random.default_rng(7)
+    b, t1 = 6, 8
+    model = make_dia("model_cnn", code.n, t1)
+    dia_params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((code.n, t1, 1)))
+    msgs = rng.integers(0, 2, (b, code.k))
+    words = (msgs @ code.g % 2).astype(np.int32)
+    noise = rng.normal(1.0, 0.9, (b, t1, code.n))
+    traj = jnp.asarray(np.where(words[:, None, :] == 0, noise, -noise),
+                       jnp.float32)
+    path = [[0] * 6, [1, 0, 0, 0, 0, 0], [0, 1, 0, 0, 0, 0],
+            [0, 0, 1, 0, 0, 0], [0, 0, 0, 1, 0, 0]]
+    blocks, acc = segments.build_tep_blocks(path, code.k, 6)
+    teps, mask, bounds = segments.pack_tep_chunks(blocks, chunk=64)
+    fcn = {"w1": jnp.zeros((6, 6), jnp.float32),
+           "w2": jnp.zeros((6, 2), jnp.float32)}
+    step = engine.make_dl_osd_step(model, code.h_osd, code.k, bounds=bounds)
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        out, refined = step(
+            dia_params, traj, jnp.asarray(words), jnp.asarray(teps),
+            jnp.asarray(mask), jnp.asarray(acc, jnp.int32), fcn,
+        )
+    assert out["success"].shape == (b,)
+    # the demoted path equals the explicit scan path
+    prep = engine.prepare(refined, traj[:, 0], jnp.asarray(words),
+                          jnp.asarray(code.h_osd), code.k)
+    want = engine.sliding_osd(
+        prep, jnp.asarray(teps), jnp.asarray(mask),
+        jnp.asarray(acc, jnp.int32), fcn, code.k, bounds=bounds,
+        use_kernel=False,
+    )
+    np.testing.assert_array_equal(np.asarray(out["success"]),
+                                  np.asarray(want["success"]))
+    np.testing.assert_array_equal(np.asarray(out["complexity"]),
+                                  np.asarray(want["complexity"]))
