@@ -264,6 +264,7 @@ def sharded_dl_osd_step(
     window: int = 5,
     soft_margin: float = 0.9,
     bounds: tuple | None = None,
+    use_kernel: bool | None = None,
 ):
     """DL-OSD evaluation step with the failure batch sharded over the mesh.
 
@@ -278,7 +279,9 @@ def sharded_dl_osd_step(
     -> (4,) counters, replicated.  Unlike ``engine.make_dl_osd_step`` there
     is NO host-level kernel demotion here: demotion is host-local state and
     would diverge collective programs across hosts (same policy as the MC
-    ladder) — a fused-kernel failure on a mesh raises instead."""
+    ladder) — a fused-kernel failure on a mesh raises instead.  Pin the
+    discrepancy path uniformly with ``use_kernel`` (False = chunk scan)
+    when the fused kernel is known not to fit a code's shapes."""
     from ..osd import engine
 
     axis = mesh.axis_names[0]
@@ -295,6 +298,7 @@ def sharded_dl_osd_step(
         out = engine.sliding_osd(
             prep, teps, mask, acc, fcn_params, k,
             window=window, soft_margin=soft_margin, bounds=bounds,
+            use_kernel=use_kernel,
         )
         succ = out["success"]
         cdt = count_dtype()  # int64 iff x64 enabled — see utils/dtypes.py
