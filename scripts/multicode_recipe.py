@@ -38,6 +38,10 @@ PLANS = {
     # 600 OSD failures/point: at 200 the 2.5 vs 3.0 dB points inverted from
     # small-sample noise (2 vs 4 failures)
     "array_121_60": ("2.0:3.5:4", 8000, 600, 6000),
+    # r4 additions: the QC code and the WiMAX-like protograph code from the
+    # reference's asset set (rate 1/2; higher-SNR windows)
+    "qc_96_48": ("2.0:3.5:4", 8000, 400, 6000),
+    "wimaxlike_384_192": ("1.5:2.5:3", 8000, 400, 6000),
 }
 
 

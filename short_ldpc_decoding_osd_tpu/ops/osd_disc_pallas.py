@@ -55,9 +55,9 @@ def auto_frame_block(m: int, nb: int = 512, vmem_budget: int = 4 * 2**20) -> int
     roughly another 1.5x, so the budget is set to ~1/4 of scoped VMEM —
     and the caller (engine.make_dl_osd_step) still guards the compile at
     the host level, since this model is calibrated, not exact."""
-    bb = max(1, vmem_budget // (m * nb * 4))
-    while bb > 1 and bb * m * nb * 4 > vmem_budget:
-        bb //= 2
+    # multiple of 8: the (bb, m)/(bb, nb) block shapes must be sublane-
+    # divisible (Mosaic rejects e.g. bb=10 for the m=192 wimaxlike code)
+    bb = max(8, (vmem_budget // (m * nb * 4)) // 8 * 8)
     return min(bb, 32)
 
 

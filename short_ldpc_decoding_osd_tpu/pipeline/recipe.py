@@ -73,13 +73,18 @@ class RecipeConfig:
     seed: int = 0
 
 
-def _capture_batch(cfg: "RecipeConfig") -> int:
+def _capture_batch(cfg: "RecipeConfig", n: int) -> int:
     if cfg.capture_batch is not None:
         return cfg.capture_batch
     import jax
 
     if jax.default_backend() == "tpu":
-        return max(cfg.eval_batch, 262144)
+        # scale the auto batch inversely with frame size: the flagship point
+        # (262144 frames at n=128) keeps per-step tensors ~130 MB; a fixed
+        # 262144 at n=1056 would put the XLA-demotion rung's dense message
+        # tensor in the hundreds of GB
+        auto = max(1024, (262144 * 128 // max(n, 1)) // 1024 * 1024)
+        return max(cfg.eval_batch, auto)
     return cfg.eval_batch
 
 
@@ -146,7 +151,7 @@ def stage_harvest_failures(cfg: RecipeConfig, run: RunDir, nms_params, log=print
         cfg.variant,
         cfg.num_iterations,
         cfg.training_snr,
-        batch=_capture_batch(cfg),
+        batch=_capture_batch(cfg, code.n),
         error_budget=cfg.train_failure_target,
         max_frames=cfg.max_frames_per_snr,
         seed=cfg.seed + 1,
@@ -259,7 +264,7 @@ def stage_eval_sweep(cfg: RecipeConfig, run: RunDir, nms_params, model, dia_para
             else 1.0
         )
         t0 = time.time()
-        cap_batch = _capture_batch(cfg)
+        cap_batch = _capture_batch(cfg, code.n)
         stats, fb = harness.run_nms_mc(
             code, nms_params, cfg.variant, cfg.num_iterations, float(snr),
             batch=cap_batch,

@@ -62,14 +62,35 @@ def generate_stopper_samples(
     teps_j, mask_j = jnp.asarray(teps), jnp.asarray(mask)
     h = jnp.asarray(code.h_osd)  # full-rank basis for the OSD elimination
 
-    @jax.jit
+    def build_block_mins(use_kernel):
+        @jax.jit
+        def block_mins(traj, labs):
+            refined = dia_model.refine(dia_params, traj)
+            prep = engine.prepare(refined, traj[:, 0], labs, h, code.k)
+            minima, _ = engine.block_discrepancy_minima(
+                prep, teps_j, mask_j, code.k, bounds=bounds,
+                use_kernel=use_kernel,
+            )
+            return minima, prep.truth_discrepancy
+
+        return block_mins
+
+    # host-level fused-kernel guard, same policy as engine.make_dl_osd_step
+    # (a Mosaic lowering/VMEM failure surfaces at outer-jit compile)
+    state = {"fn": build_block_mins(None), "demoted": False}
+
     def block_mins(traj, labs):
-        refined = dia_model.refine(dia_params, traj)
-        prep = engine.prepare(refined, traj[:, 0], labs, h, code.k)
-        minima, _ = engine.block_discrepancy_minima(
-            prep, teps_j, mask_j, code.k, bounds=bounds
-        )
-        return minima, prep.truth_discrepancy
+        if not state["demoted"]:
+            from ..mc.harness import _attempt_fused
+
+            status, val = _attempt_fused(
+                lambda: state["fn"](traj, labs), "stopper-sample block minima"
+            )
+            if status == "ok":
+                return val
+            state["demoted"] = True
+            state["fn"] = build_block_mins(False)
+        return state["fn"](traj, labs)
 
     rec_list = []
     success = fails = undetected = 0
