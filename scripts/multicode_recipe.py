@@ -32,16 +32,24 @@ import numpy as np
 
 from short_ldpc_decoding_osd_tpu.pipeline.recipe import RecipeConfig, run_recipe
 
-# (code, snr range, nms error budget, osd failures, train failures)
 PLANS = {
-    "regular_256_128": ("2.0:3.0:3", 8000, 200, 6000),
+    "regular_256_128": dict(snrs="2.0:3.0:3", nms=8000, osd=200, train=6000),
     # 600 OSD failures/point: at 200 the 2.5 vs 3.0 dB points inverted from
     # small-sample noise (2 vs 4 failures)
-    "array_121_60": ("2.0:3.5:4", 8000, 600, 6000),
+    "array_121_60": dict(snrs="2.0:3.5:4", nms=8000, osd=600, train=6000),
     # r4 additions: the QC code and the WiMAX-like protograph code from the
     # reference's asset set (rate 1/2; higher-SNR windows)
-    "qc_96_48": ("2.0:3.5:4", 8000, 400, 6000),
-    "wimaxlike_384_192": ("1.5:2.5:3", 8000, 400, 6000),
+    "qc_96_48": dict(snrs="2.0:3.5:4", nms=8000, osd=400, train=6000),
+    "wimaxlike_384_192": dict(snrs="1.5:2.5:3", nms=8000, osd=400, train=6000),
+    # the production-scale rate-0.83 WiMAX code (8.25x the flagship's n): a
+    # scale proof at reduced budgets in its (higher) operating window.  The
+    # flagship OSD point does NOT transfer: at k=880 a threshold_sum=3
+    # learned path reached 14.3M TEPs (weight-3 patterns over ~300-bit
+    # segments — measured, would run for hours); order-2 x 16 blocks keeps
+    # the TEP count ~100k while still exercising every stage at scale
+    "wimax_1056_880": dict(snrs="3.25:4.0:2", nms=3000, osd=200, train=4000,
+                           training_snr=3.75, threshold_sum=2,
+                           decoding_length=16),
 }
 
 
@@ -55,7 +63,11 @@ def main():
 
     summary = {}
     for name in args.codes.split(","):
-        snrs, nms_budget, osd_budget, train_target = PLANS[name]
+        plan = dict(PLANS[name])
+        nms_budget = plan.pop("nms")
+        osd_budget = plan.pop("osd")
+        train_target = plan.pop("train")
+        snrs = plan.pop("snrs")
         if args.quick:
             nms_budget, osd_budget, train_target = 500, 30, 800
         lo, hi, num = snrs.split(":")
@@ -67,6 +79,7 @@ def main():
             train_failure_target=train_target,
             max_frames_per_snr=10**8,
             eval_batch=4096,
+            **plan,
         )
         t0 = time.time()
         print(f"=== {name} ===", flush=True)

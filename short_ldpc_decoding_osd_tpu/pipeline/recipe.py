@@ -73,19 +73,29 @@ class RecipeConfig:
     seed: int = 0
 
 
-def _capture_batch(cfg: "RecipeConfig", n: int) -> int:
+def _capture_batch(cfg: "RecipeConfig", code: Code) -> int:
     if cfg.capture_batch is not None:
         return cfg.capture_batch
     import jax
 
-    if jax.default_backend() == "tpu":
-        # scale the auto batch inversely with frame size: the flagship point
-        # (262144 frames at n=128) keeps per-step tensors ~130 MB; a fixed
-        # 262144 at n=1056 would put the XLA-demotion rung's dense message
-        # tensor in the hundreds of GB
+    if jax.default_backend() != "tpu":
+        return cfg.eval_batch
+    from ..ops.nms_edge_pallas import auto_block_frames as edge_auto
+
+    n = code.n
+    m = code.h.shape[0]
+    dc = int(code.h.sum(axis=1).max())
+    if edge_auto(m, n, dc) >= 8:
+        # edge-kernel capture: per-frame state is O(n); scale the flagship
+        # point (262144 frames at n=128, ~130 MB/step) inversely with n
         auto = max(1024, (262144 * 128 // max(n, 1)) // 1024 * 1024)
         return max(cfg.eval_batch, auto)
-    return cfg.eval_batch
+    # the edge layout does not fit: capture demotes to the dense decoder,
+    # which materializes a (B, m, n) message tensor (plus AD-free copies) —
+    # bound B so ~3 such tensors stay under ~1.5 GB (the (1056,880) WiMAX
+    # code OOMed HBM at the n-scaled batch: f32[31744,176,1056] = 25.7 GB)
+    dense_bound = int(1.5e9 // max(m * n * 4 * 3, 1)) // 1024 * 1024
+    return max(1024, min(cfg.eval_batch, dense_bound))
 
 
 class RunDir:
@@ -151,7 +161,7 @@ def stage_harvest_failures(cfg: RecipeConfig, run: RunDir, nms_params, log=print
         cfg.variant,
         cfg.num_iterations,
         cfg.training_snr,
-        batch=_capture_batch(cfg, code.n),
+        batch=_capture_batch(cfg, code),
         error_budget=cfg.train_failure_target,
         max_frames=cfg.max_frames_per_snr,
         seed=cfg.seed + 1,
@@ -179,13 +189,25 @@ def stage_train_dia_and_path(cfg: RecipeConfig, run: RunDir, fb, log=print):
 
     code = get_code(cfg.code_name)
     model_tag = f"dia_{canonical_dia_name(cfg.dia_model)}"
+    op_point = {
+        "threshold_sum": cfg.threshold_sum,
+        "decoding_length": cfg.decoding_length,
+        "num_segments": cfg.num_segments,
+    }
     if run.has(model_tag + ".pkl") and run.has("decoding_path.json"):
-        dia_params = run.load_pickle(model_tag + ".pkl")
-        from ..models import make_dia
+        blob = run.load_json("decoding_path.json")
+        # regenerate when the cached path was built for a DIFFERENT (or
+        # unrecorded) operating point — silently reusing e.g. an order-3
+        # path after the config moved to order-2 would evaluate the wrong
+        # decoder
+        if blob.get("operating_point") == op_point:
+            dia_params = run.load_pickle(model_tag + ".pkl")
+            from ..models import make_dia
 
-        model = make_dia(cfg.dia_model, code.n, cfg.num_iterations + 1)
-        decoding_path = run.load_json("decoding_path.json")["path"]
-        return model, dia_params, decoding_path
+            model = make_dia(cfg.dia_model, code.n, cfg.num_iterations + 1)
+            return model, dia_params, blob["path"]
+        log("  cached decoding path has a different operating point; "
+            "regenerating")
     model, dia_params, _ = train_dia(
         code,
         fb.trajectories,
@@ -209,6 +231,7 @@ def stage_train_dia_and_path(cfg: RecipeConfig, run: RunDir, fb, log=print):
         "decoding_path.json",
         {
             "path": decoding_path,
+            "operating_point": op_point,
             "hist_initial": dict(sweep["hist_initial"]),
             "hist_final": dict(sweep["hist_final"]),
             "hist_refined": dict(sweep["hist_refined"]),
@@ -264,7 +287,7 @@ def stage_eval_sweep(cfg: RecipeConfig, run: RunDir, nms_params, model, dia_para
             else 1.0
         )
         t0 = time.time()
-        cap_batch = _capture_batch(cfg, code.n)
+        cap_batch = _capture_batch(cfg, code)
         stats, fb = harness.run_nms_mc(
             code, nms_params, cfg.variant, cfg.num_iterations, float(snr),
             batch=cap_batch,
