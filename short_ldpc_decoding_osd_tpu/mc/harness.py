@@ -101,7 +101,12 @@ class FailureBatch:
     overflow: int  # failures that did not fit the capture buffer
     # frames the capture kernel flagged but the bit-exact XLA re-decode did
     # not confirm as detected failures (f32-rounding ties between the edge
-    # kernel and the XLA decoder); dropped from the batch, counted here
+    # kernel and the XLA decoder); dropped from the batch, counted here.
+    # NOTE this counts only FALSE POSITIVES of the flagging kernel: frames
+    # the XLA re-decode would flag but the kernel did not are never captured
+    # and are not counted, so the kernel/XLA disagreement is understated and
+    # the capture set carries a small one-directional selection bias (the
+    # stats counters likewise remain the flagging kernel's)
     mismatches: int = 0
 
 
@@ -111,6 +116,23 @@ class FailureBatch:
 # capture path's dominant cost (r3: NMS eval with capture ran at 4-45k f/s
 # while the decode itself is ~5 ms of real work per point).
 _STEP_CACHE: dict = {}
+
+
+def _matrix_digest(*mats) -> str:
+    """Content digest of the matrices a cached jitted step closes over.
+
+    Cache keys used to be (code.name, n, m, ...) only; a Code with the same
+    name and shape but different H/G (e.g. a programmatically punctured
+    variant) would silently reuse a step with the wrong matrices baked in.
+    """
+    import hashlib
+
+    h = hashlib.sha1()
+    for m in mats:
+        a = np.ascontiguousarray(np.asarray(m))
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()[:16]
 
 
 def build_nms_mc_step(
@@ -161,7 +183,8 @@ def build_nms_mc_step(
     # structure (rayleigh / SNR blend) is baked into the compiled step
     runtime_moments = not spec.rayleigh
     cache_key = (
-        code.name, code.n, code.m, variant, num_iterations, batch,
+        code.name, code.n, code.m, _matrix_digest(decode_h, code.g),
+        variant, num_iterations, batch,
         capture_capacity, all_zeros, use_edge, use_pallas,
         (spec if not runtime_moments else None), jax.default_backend(),
     )
@@ -259,7 +282,10 @@ def trajectories_for_llrs(
     if n_total == 0:
         return np.zeros((0, num_iterations + 1, code.n), np.float32)
     pad = (-n_total) % chunk
-    cache_key = (code.name, code.n, code.m, variant, num_iterations, chunk)
+    cache_key = (
+        code.name, code.n, code.m, _matrix_digest(decode_h),
+        variant, num_iterations, chunk,
+    )
     if cache_key in _REDECODE_CACHE:
         redecode = _REDECODE_CACHE[cache_key]
     else:

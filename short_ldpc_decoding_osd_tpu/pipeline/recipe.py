@@ -94,8 +94,10 @@ def _capture_batch(cfg: "RecipeConfig", code: Code) -> int:
     # which materializes a (B, m, n) message tensor (plus AD-free copies) —
     # bound B so ~3 such tensors stay under ~1.5 GB (the (1056,880) WiMAX
     # code OOMed HBM at the n-scaled batch: f32[31744,176,1056] = 25.7 GB)
-    dense_bound = int(1.5e9 // max(m * n * 4 * 3, 1)) // 1024 * 1024
-    return max(1024, min(cfg.eval_batch, dense_bound))
+    # round to a 256 granule (1024 rounded large m*n down to 0, and the
+    # max(1024, ...) floor then blew past the stated bound for (1056,880))
+    dense_bound = int(1.5e9 // max(m * n * 4 * 3, 1)) // 256 * 256
+    return max(256, min(cfg.eval_batch, max(dense_bound, 256)))
 
 
 class RunDir:

@@ -68,7 +68,9 @@ def train_dia(
         if restored is not None:
             start_step, blob, _ = restored
             params, opt_state = blob["params"], blob["opt_state"]
-            start_step += 1
+            # checkpoints store step == completed-step-count (saved after
+            # `step += count`), so resume continues at exactly that index —
+            # no +1 (nms_train saves step_idx - 1 and restores +1 instead)
 
     n_total = len(trajectories)
     num_batches = max(1, n_total // cfg.batch)

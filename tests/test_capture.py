@@ -250,3 +250,34 @@ def test_fused_programming_error_propagates(monkeypatch, code):
             code, params, "NMS-1", 12, 3.0, batch=256, max_frames=256,
             error_budget=10**9, seed=5,
         )
+
+
+def test_redecode_cache_distinguishes_same_name_codes():
+    """r4 ADVICE (medium): cached jitted steps keyed on (name, n, m) only
+    would silently reuse a step with the wrong H baked in for a same-named,
+    same-shape Code with different structure.  Keys now carry an H digest."""
+    from short_ldpc_decoding_osd_tpu.codes.code import Code
+
+    h1 = np.array(
+        [[1, 1, 0, 1, 0, 0], [0, 1, 1, 0, 1, 0], [1, 0, 1, 0, 0, 1]],
+        np.uint8,
+    )
+    # same shape, different column layout (checks touch different bits)
+    h2 = np.array(
+        [[1, 0, 1, 1, 0, 0], [1, 1, 0, 0, 1, 0], [0, 1, 1, 0, 0, 1]],
+        np.uint8,
+    )
+    c1 = Code.from_parity(h1, name="dup_code")
+    c2 = Code.from_parity(h2, name="dup_code")
+    params = nms.init_params("NMS-1")
+    rng = np.random.default_rng(7)
+    llrs = rng.normal(0.5, 1.0, (4, 6)).astype(np.float32)
+    t1 = trajectories_for_llrs(c1, params, "NMS-1", 3, llrs, chunk=4)
+    t2 = trajectories_for_llrs(c2, params, "NMS-1", 3, llrs, chunk=4)
+    direct2 = nms.decode(
+        params, jnp.asarray(c2.h, jnp.float32), jnp.asarray(llrs), 3, "NMS-1"
+    )
+    np.testing.assert_allclose(
+        t2, np.transpose(np.asarray(direct2), (1, 0, 2)), rtol=1e-6, atol=1e-6
+    )
+    assert not np.allclose(t1, t2)

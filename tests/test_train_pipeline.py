@@ -125,3 +125,18 @@ def test_full_two_phase_pipeline(code, failures):
     # OSD should rescue a decent share of NMS failures
     rescue_rate = float(np.asarray(out["success"]).mean())
     assert rescue_rate > 0.2
+
+
+def test_dia_resume_continues_at_saved_step(tmp_path, code, failures):
+    """r4 ADVICE: DIA checkpoints store step == completed-step-count; resume
+    must continue at exactly that step (the old +1 skipped one index)."""
+    traj, labels = failures.trajectories, failures.labels
+    ckpt = str(tmp_path / "dia_ckpt")
+    cfg = DIATrainConfig(model="model_cnn", batch=8, termination_step=100)
+    train_dia(code, traj, labels, cfg, ckpt_dir=ckpt)
+    cfg2 = DIATrainConfig(model="model_cnn", batch=8, termination_step=150)
+    recs = []
+    train_dia(code, traj, labels, cfg2, ckpt_dir=ckpt, log_fn=recs.append)
+    # resumed run trains exactly steps 100..150: first logged block ends at 150
+    assert recs[0]["step"] == 150
+    assert len(recs) == 1
