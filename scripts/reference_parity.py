@@ -513,6 +513,521 @@ def run_combine_walk(args):
 
 
 # ---------------------------------------------------------------------------
+# FS-OSD / PB-OSD search-loop cross-check (round-4 VERDICT item 1): the
+# framework's batched FS/PB searches vs the reference's own serial loops on
+# IDENTICAL captured failure LLRs.  Three modes with file hand-off:
+#
+#   fw-base   JAX side: run batched fs_osd (intended + literal tau_e
+#             semantics) and pb_osd on a captured failure set
+#   ref-base  TF side: (a) an instrumented per-frame loop that drives the
+#             reference's OWN functions (swapped_info / one_tep_compare /
+#             acquire_pnc_boundary / optimal_tep_sequence / the PB
+#             probability stops) with exactly the reference's control flow,
+#             recording per-frame outcomes; (b) the actual fs_osd/pb_osd
+#             entry points on a prefix of the same frames, with their
+#             printed aggregates parsed and checked against (a)
+#   combine-base  per-frame agreement + quantified divergence table
+#
+# Ref: FS_OSD/fs_testing.py:68-231, PB_OSD/pb_testing.py:44-229,339-500.
+# ---------------------------------------------------------------------------
+
+
+def _load_base_failures(args):
+    """(llr, labels) for the baseline cross-check: trajectories[:,0] of a
+    captured NMS failure set (stage-5 failure semantics)."""
+    blob = np.load(args.base_failures)
+    llr = blob["traj"][: args.base_frames, 0].astype(np.float32)
+    labels = np.asarray(blob["labels"][: args.base_frames], np.int64)
+    return llr, labels
+
+
+def run_fw_base(args):
+    from short_ldpc_decoding_osd_tpu.cli.main import _setup_compile_cache
+
+    _setup_compile_cache()
+
+    import jax.numpy as jnp
+
+    from short_ldpc_decoding_osd_tpu.baselines import fs_osd, pb_osd
+    from short_ldpc_decoding_osd_tpu.codes import get_code
+
+    code = get_code("ccsds_128_64")
+    llr, labels = _load_base_failures(args)
+    log(f"fw-base: {len(llr)} frames from {args.base_failures}")
+    jl, jb = jnp.asarray(llr), jnp.asarray(labels)
+
+    t0 = time.time()
+    fs_int = fs_osd.fs_osd(jl, jb, code.g, code.k, order_limit=3, beta=0.1,
+                           d_min=14, tau_psc=30, score_tau_e_codeword=True)
+    fs_lit = fs_osd.fs_osd(jl, jb, code.g, code.k, order_limit=3, beta=0.1,
+                           d_min=14, tau_psc=30, score_tau_e_codeword=False)
+    log(f"fw FS done ({time.time()-t0:.1f}s): intended "
+        f"{int(np.asarray(fs_int['success']).sum())}/{len(llr)}, literal "
+        f"{int(np.asarray(fs_lit['success']).sum())}/{len(llr)}")
+    t0 = time.time()
+    pb = pb_osd.pb_osd(jl, jb, code.g, code.k, snr_db=args.osd_snr,
+                       order_limit=3)
+    log(f"fw PB done ({time.time()-t0:.1f}s): "
+        f"{int(np.asarray(pb['success']).sum())}/{len(llr)}, avg cost "
+        f"{float(np.asarray(pb['num_teps']).mean()):.1f}")
+
+    fs_stop = np.where(
+        np.asarray(fs_int["zero_stop"]), 0,
+        np.where(np.asarray(fs_int["tau_e_stop"]), 1,
+                 np.where(np.asarray(fs_int["gate_stop"]), 2, 3)))
+    pb_stop = np.where(
+        np.asarray(pb["stopped_by_suc"]), 1,
+        np.where(np.asarray(pb["stopped_by_pro"]), 2, 0))
+    np.savez_compressed(
+        os.path.join(args.out_dir, "base_failures.npz"),
+        llr=llr, labels=labels, osd_snr=args.osd_snr,
+        fs_success_intended=np.asarray(fs_int["success"]),
+        fs_success_literal=np.asarray(fs_lit["success"]),
+        fs_num_teps=np.asarray(fs_int["num_teps"]),
+        fs_num_teps_literal=np.asarray(fs_lit["num_teps"]),
+        fs_stop=fs_stop,  # 0 zero / 1 tau_e / 2 gate / 3 exhaust
+        pb_success=np.asarray(pb["success"]),
+        pb_cost=np.asarray(pb["num_teps"]),
+        pb_stop=pb_stop,  # 1 suc / 2 pro / 0 exhaust
+        pb_maintained=np.asarray(pb["maintained_list"]),
+        pb_suc_evals=np.asarray(pb["suc_evals"]),
+        pb_improvements=np.asarray(pb["improvements"]),
+        pb_n_max=int(pb["n_max"]),
+    )
+    log(f"fw-base done -> {args.out_dir}/base_failures.npz")
+
+
+class _FrameDS:
+    """Minimal stand-in for the reference's TFRecord dataset: yields
+    (features[1, n], label[1, n]) numpy pairs, matching the
+    ``input_list[i][0][0]`` indexing in fs_osd/pb_osd."""
+
+    def __init__(self, llr, labels):
+        self._items = [
+            (llr[i][None, :], labels[i][None, :]) for i in range(len(llr))
+        ]
+
+    def as_numpy_iterator(self):
+        return iter(self._items)
+
+
+def _parse_sf(text):
+    """Last '----> S:<s> F:<f>' occurrence in a captured stdout/log blob."""
+    import re
+
+    hits = re.findall(r"----> S:\s*(\d+)\s*F:\s*(\d+)", text)
+    return (int(hits[-1][0]), int(hits[-1][1])) if hits else None
+
+
+def run_ref_base(args):
+    import io
+    import math
+
+    blob = np.load(os.path.join(args.out_dir, "base_failures.npz"))
+    llr, labels = blob["llr"], blob["labels"]
+    n_frames = len(llr)
+    out = {"frames": n_frames, "osd_snr": float(blob["osd_snr"])}
+
+    if args.which in ("fs", "both"):
+        out["fs"] = _ref_fs_instrumented(llr, labels, args)
+        out["fs_entry"] = _ref_fs_entrypoint(llr, labels, args)
+    if args.which in ("pb", "both"):
+        out["pb"] = _ref_pb_instrumented(
+            llr, labels, float(blob["osd_snr"]), args,
+            fw_cost=blob["pb_cost"])
+        out["pb_entry"] = _ref_pb_entrypoint(
+            llr, labels, float(blob["osd_snr"]), args,
+            fw_cost=blob["pb_cost"])
+    suffix = "" if args.which == "both" else f"_{args.which}"
+    path = os.path.join(args.out_dir, f"ref_base{suffix}.json")
+    with open(path, "wt") as fh:
+        json.dump(out, fh, indent=1)
+    log(f"ref-base done -> {path}")
+
+
+def _ref_fs_instrumented(llr, labels, args):
+    """Drive the reference's own FS-OSD building blocks with exactly the
+    fs_osd control flow (fs_testing.py:129-176), per frame, recording:
+    success under the literal line-162 scoring AND under the intended
+    optimal_list scoring, TEP count, and which stop fired."""
+    import math
+
+    n_frames = len(llr)
+    with ref_stage("FS_OSD"):
+        import fill_matrix_info
+        import globalmap as GL
+
+        code = fill_matrix_info.Code(
+            os.path.join(REF_ROOT, "FS_OSD", "CCSDS_ldpc_n128_k64.alist"))
+        GL.set_map("code_parameters", code)
+        GL.set_map("order_limit", 3)
+        import tensorflow as tf
+
+        import fs_testing
+
+        n, k = code.check_matrix_column, code.k
+        beta, d_min, tau_psc = 0.1, 14, 30
+        tau_e = math.floor(d_min - 1) / 2
+        tep_matrix_list = fs_testing.generate_sequential_teps(k, 3)
+        rows = {"success_literal": [], "success_intended": [],
+                "num_teps": [], "stop": []}
+        t0 = time.time()
+        for i in range(n_frames):
+            upd_in, upd_lab, red_g = fs_testing.swapped_info(
+                tf.constant(llr[i]), tf.constant(labels[i]))
+            boundary_list = fs_testing.acquire_pnc_boundary(upd_in)
+            early, optimal_codeword, w_dmin = fs_testing.one_tep_compare(
+                upd_in, [0] * k, red_g, tau_e)
+            num_teps = 1
+            chosen = optimal_codeword  # what optimal_list would hold
+            stop = "zero" if early else None
+            if not early:
+                s_low = [x + beta * (n - k) for x in boundary_list]
+                early_jumping = False
+                for j in range(3):
+                    if s_low[j] < w_dmin:
+                        for nth_tep in tep_matrix_list[j]:
+                            num_teps += 1
+                            e1, new_cw, new_wd = fs_testing.one_tep_compare(
+                                upd_in, nth_tep, red_g, tau_e)
+                            if e1:
+                                # fs_testing.py:143-147: appends new_cw but
+                                # breaks BEFORE updating optimal_codeword
+                                chosen = new_cw
+                                early_jumping = True
+                                stop = "tau_e"
+                                break
+                            e2, _, _ = fs_testing.one_tep_compare(
+                                upd_in, nth_tep, red_g, tau_psc)
+                            if e2 and new_wd < w_dmin:
+                                w_dmin = new_wd
+                                optimal_codeword = new_cw
+                                chosen = new_cw
+                        if early_jumping:
+                            break
+                    else:
+                        stop = "gate"
+                        break
+                if stop is None:
+                    stop = "exhaust"
+                if stop in ("gate", "exhaust"):
+                    chosen = optimal_codeword
+            lab32 = tf.cast(upd_lab, tf.int32)
+            lit = int(tf.reduce_sum(
+                tf.abs(optimal_codeword - lab32)).numpy()) == 0
+            intended = int(tf.reduce_sum(
+                tf.abs(chosen - lab32)).numpy()) == 0
+            rows["success_literal"].append(lit)
+            rows["success_intended"].append(intended)
+            rows["num_teps"].append(int(num_teps))
+            rows["stop"].append(stop)
+            if (i + 1) % 25 == 0:
+                log(f"  ref FS frame {i+1}/{n_frames} "
+                    f"({time.time()-t0:.0f}s)")
+        log(f"ref FS instrumented: "
+            f"{sum(rows['success_literal'])}/{n_frames} literal, "
+            f"{sum(rows['success_intended'])}/{n_frames} intended, "
+            f"avg TEPs {np.mean(rows['num_teps']):.1f} "
+            f"({time.time()-t0:.0f}s)")
+        rows["time_s"] = time.time() - t0
+        return rows
+
+
+def _ref_fs_entrypoint(llr, labels, args):
+    """Call the reference's ACTUAL fs_osd() on the first --entry-frames
+    frames and parse its printed S/F aggregate (fs_testing.py:195-212)."""
+    import io
+    from contextlib import redirect_stdout
+
+    m = min(args.entry_frames, len(llr))
+    with ref_stage("FS_OSD"):
+        import fill_matrix_info
+        import globalmap as GL
+
+        code = fill_matrix_info.Code(
+            os.path.join(REF_ROOT, "FS_OSD", "CCSDS_ldpc_n128_k64.alist"))
+        GL.set_map("code_parameters", code)
+        GL.set_map("order_limit", 3)
+        GL.set_map("miracle_view", False)
+        GL.set_map("convention_osd", False)
+        GL.set_map("fs_osd", True)
+        GL.set_map("d_min", 14)
+        GL.set_map("tau_psc", 30)
+        GL.set_map("termination_num_threshlod", 10 ** 9)
+        import fs_testing
+
+        ds = _FrameDS(llr[:m], labels[:m])
+        cwd = os.getcwd()
+        os.chdir(args.out_dir)  # its ./log lands in the artifact dir
+        buf = io.StringIO()
+        t0 = time.time()
+        try:
+            with redirect_stdout(buf):
+                fs_testing.fs_osd(float(args.osd_snr), 0.1, ds)
+        finally:
+            os.chdir(cwd)
+        sf = _parse_sf(buf.getvalue())
+        log(f"ref FS entrypoint on {m} frames: S/F {sf} "
+            f"({time.time()-t0:.0f}s)")
+        return {"frames": m, "s_f": sf}
+
+
+def _ref_pb_instrumented(llr, labels, snr, args, fw_cost):
+    """Drive the reference's own PB-OSD machinery (pb_testing.py:100-161)
+    per frame: its swapped_info, its dynamic priority list
+    (optimal_tep_sequence), its probability stops.  Pops are capped at
+    --pb-pop-cap (frames the batched side says run to N_max would take
+    ~minutes each in eager TF); capped frames are recorded as censored."""
+    n_frames = len(llr)
+    with ref_stage("PB_OSD"):
+        import fill_matrix_info
+        import globalmap as GL
+
+        code = fill_matrix_info.Code(
+            os.path.join(REF_ROOT, "PB_OSD", "CCSDS_ldpc_n128_k64.alist"))
+        GL.set_map("code_parameters", code)
+        GL.set_map("order_limit", 3)
+        import tensorflow as tf
+
+        import pb_testing as pb
+
+        k = code.k
+        noise_variance = 1.0 / (10 ** (snr / 10))
+        rows = {"success": [], "cost": [], "stop": [], "maintained": [],
+                "suc1": [], "suc2": [], "capped": []}
+        t0 = time.time()
+        for i in range(n_frames):
+            upd_in, upd_lab, red_g = pb.swapped_info(
+                tf.constant(llr[i]), tf.constant(labels[i]))
+            hard = tf.cast(tf.where(upd_in > 0, 0, 1), tf.int32)
+            optimal = tf.matmul(tf.reshape(hard[:k], [1, -1]), red_g) % 2
+            hd = (optimal + hard) % 2
+            w_dmin = tf.reduce_sum(tf.cast(hd, tf.float32) * tf.abs(upd_in))
+            tep_matrix = pb.create_binary_tensor(k, k - 1)
+            p1 = pb.mean_lrb_prob(noise_variance, upd_in)
+            para_list = [p1, 0.5]
+            pt = pb.mean_mrb_prob(noise_variance, upd_in)
+            p_t_suc, p_t_pro, n_max = pb.calculate_two_thresholds(pt)
+            spl = pb.com_mrb_prob(noise_variance, upd_in)
+            memory = suc1 = suc2 = 0
+            cost = None
+            stop = "exhaust"
+            cap = min(n_max - 1, args.pb_pop_cap)
+            for j in range(cap):
+                tep_matrix, sel_tep, cmp_cnt = pb.optimal_tep_sequence(
+                    upd_in, tep_matrix)
+                memory += int(cmp_cnt)
+                wrapped = (sel_tep, noise_variance, upd_in, spl, w_dmin,
+                           para_list)
+                p_e_pro = pb.acquire_prob_promising(wrapped)
+                if p_e_pro < p_t_pro:
+                    stop = "pro"
+                    cost = j + 1
+                    break
+                mrb_c = (hard[:k] + sel_tep) % 2
+                cand = tf.matmul(tf.reshape(mrb_c, [1, -1]), red_g) % 2
+                hd_c = (cand + hard) % 2
+                w_de = tf.reduce_sum(
+                    tf.cast(hd_c, tf.float32) * tf.abs(upd_in))
+                suc1 += 1
+                if w_de < w_dmin:
+                    optimal = cand
+                    w_dmin = w_de
+                    p_e_suc = pb.acquire_p_e_suc(
+                        noise_variance, upd_in, spl, tf.squeeze(hd_c))
+                    suc2 += 1
+                    if p_e_suc > p_t_suc:
+                        stop = "suc"
+                        cost = j + 1
+                        break
+            capped = cost is None and cap < n_max - 1
+            if cost is None:
+                cost = int(n_max) if not capped else cap
+            ok = int(tf.reduce_sum(tf.abs(
+                optimal - tf.cast(upd_lab, tf.int32))).numpy()) == 0
+            rows["success"].append(ok)
+            rows["cost"].append(int(cost))
+            rows["stop"].append(stop if not capped else "capped")
+            rows["maintained"].append(int(memory))
+            rows["suc1"].append(int(suc1))
+            rows["suc2"].append(int(suc2))
+            rows["capped"].append(bool(capped))
+            if (i + 1) % 25 == 0:
+                log(f"  ref PB frame {i+1}/{n_frames} "
+                    f"({time.time()-t0:.0f}s)")
+        log(f"ref PB instrumented: {sum(rows['success'])}/{n_frames}, "
+            f"avg cost {np.mean(rows['cost']):.1f}, "
+            f"capped {sum(rows['capped'])} ({time.time()-t0:.0f}s)")
+        rows["time_s"] = time.time() - t0
+        return rows
+
+
+def _ref_pb_entrypoint(llr, labels, snr, args, fw_cost):
+    """Call the reference's ACTUAL pb_osd() on an early-stopping prefix and
+    parse its printed S/F aggregate.  The prefix is the first
+    --entry-frames frames whose fw-side cost is under the pop cap (a frame
+    the batched search says full-traverses would take ~7 min each in the
+    eager loop); the instrumented loop covers every frame regardless."""
+    import io
+    from contextlib import redirect_stdout
+
+    keep = np.nonzero(fw_cost[: len(llr)] <= args.pb_pop_cap)[0][
+        : args.entry_frames]
+    with ref_stage("PB_OSD"):
+        import fill_matrix_info
+        import globalmap as GL
+
+        code = fill_matrix_info.Code(
+            os.path.join(REF_ROOT, "PB_OSD", "CCSDS_ldpc_n128_k64.alist"))
+        GL.set_map("code_parameters", code)
+        GL.set_map("order_limit", 3)
+        GL.set_map("miracle_view", False)
+        GL.set_map("convention_osd", False)
+        GL.set_map("pb_osd", True)
+        GL.set_map("termination_num_threshlod", 10 ** 9)
+        import pb_testing as pb
+
+        ds = _FrameDS(llr[keep], labels[keep])
+        cwd = os.getcwd()
+        os.chdir(args.out_dir)
+        buf = io.StringIO()
+        t0 = time.time()
+        try:
+            with redirect_stdout(buf):
+                pb.pb_osd(float(snr), ds)
+        finally:
+            os.chdir(cwd)
+        sf = _parse_sf(buf.getvalue())
+        log(f"ref PB entrypoint on {len(keep)} frames: S/F {sf} "
+            f"({time.time()-t0:.0f}s)")
+        return {"frames": int(len(keep)), "indices": keep.tolist(),
+                "s_f": sf}
+
+
+def run_combine_base(args):
+    blob = np.load(os.path.join(args.out_dir, "base_failures.npz"))
+    ref = {}
+    for suffix in ("", "_fs", "_pb"):
+        p = os.path.join(args.out_dir, f"ref_base{suffix}.json")
+        if os.path.exists(p):
+            with open(p) as fh:
+                ref.update(json.load(fh))
+    n = int(len(blob["llr"]))
+    out = {"frames": n, "osd_snr": float(blob["osd_snr"])}
+
+    if "fs" in ref:
+        rs = ref["fs"]
+        stop_names = np.asarray(["zero", "tau_e", "gate", "exhaust"])
+        fw_stop = stop_names[blob["fs_stop"]]
+        ref_stop_v = np.asarray(rs["stop"])
+        fw_lit = blob["fs_success_literal"].astype(bool)
+        fw_int = blob["fs_success_intended"].astype(bool)
+        ref_lit = np.asarray(rs["success_literal"], bool)
+        ref_int = np.asarray(rs["success_intended"], bool)
+        fw_teps = blob["fs_num_teps"].astype(np.int64)
+        ref_teps = np.asarray(rs["num_teps"], np.int64)
+        dis = {
+            "literal_success": np.nonzero(fw_lit != ref_lit)[0],
+            "intended_success": np.nonzero(fw_int != ref_int)[0],
+            "num_teps": np.nonzero(fw_teps != ref_teps)[0],
+            "stop_kind": np.nonzero(fw_stop != ref_stop_v)[0],
+        }
+        out["fs"] = {
+            "frames": n,
+            "fw_success_intended": int(fw_int.sum()),
+            "ref_success_intended": int(ref_int.sum()),
+            "fw_success_literal": int(fw_lit.sum()),
+            "ref_success_literal": int(ref_lit.sum()),
+            "avg_teps": {"fw": float(fw_teps.mean()),
+                         "ref": float(ref_teps.mean())},
+            "disagreements": {k: int(len(v)) for k, v in dis.items()},
+            "disagreement_frames": {k: v.tolist()[:50]
+                                    for k, v in dis.items()},
+            "literal_vs_intended_delta_frames": int(
+                (ref_lit != ref_int).sum()),
+            "tau_e_mid_search_frames": int((ref_stop_v == "tau_e").sum()),
+            "stop_hist_ref": {s: int((ref_stop_v == s).sum())
+                              for s in stop_names},
+            "entrypoint_check": _check_entry_fs(ref, rs),
+        }
+        log(f"FS combine: {json.dumps(out['fs']['disagreements'])} "
+            f"avg TEPs fw {fw_teps.mean():.1f} ref {ref_teps.mean():.1f}")
+
+    if "pb" in ref:
+        rs = ref["pb"]
+        stop_names_pb = np.asarray(["exhaust", "suc", "pro"])
+        fw_stop = stop_names_pb[blob["pb_stop"]]
+        ref_stop_v = np.asarray(rs["stop"])
+        capped = np.asarray(rs["capped"], bool)
+        fw_s = blob["pb_success"].astype(bool)
+        ref_s = np.asarray(rs["success"], bool)
+        fw_c = blob["pb_cost"].astype(np.int64)
+        ref_c = np.asarray(rs["cost"], np.int64)
+        fw_m = blob["pb_maintained"].astype(np.int64)
+        ref_m = np.asarray(rs["maintained"], np.int64)
+        fw_s1 = blob["pb_suc_evals"].astype(np.int64)
+        ref_s1 = np.asarray(rs["suc1"], np.int64)
+        fw_s2 = blob["pb_improvements"].astype(np.int64)
+        ref_s2 = np.asarray(rs["suc2"], np.int64)
+        live = ~capped
+        dis = {
+            "success": np.nonzero(fw_s != ref_s)[0],
+            "cost": np.nonzero(live & (fw_c != ref_c))[0],
+            "stop_kind": np.nonzero(live & (fw_stop != ref_stop_v))[0],
+            "maintained": np.nonzero(live & (fw_m != ref_m))[0],
+            "suc_evals": np.nonzero(live & (fw_s1 != ref_s1))[0],
+            "improvements": np.nonzero(live & (fw_s2 != ref_s2))[0],
+        }
+        out["pb"] = {
+            "frames": n,
+            "capped_frames": int(capped.sum()),
+            "fw_success": int(fw_s.sum()),
+            "ref_success": int(ref_s.sum()),
+            "avg_cost_live": {"fw": float(fw_c[live].mean()),
+                              "ref": float(ref_c[live].mean())},
+            "avg_maintained_live": {"fw": float(fw_m[live].mean()),
+                                    "ref": float(ref_m[live].mean())},
+            "disagreements": {k: int(len(v)) for k, v in dis.items()},
+            "disagreement_frames": {k: v.tolist()[:50]
+                                    for k, v in dis.items()},
+            "stop_hist_ref": {s: int((ref_stop_v == s).sum())
+                              for s in ["suc", "pro", "exhaust", "capped"]},
+            "entrypoint_check": _check_entry_pb(ref, rs),
+        }
+        log(f"PB combine: {json.dumps(out['pb']['disagreements'])} "
+            f"avg cost fw {fw_c[live].mean():.1f} ref {ref_c[live].mean():.1f}")
+
+    path = os.path.join(args.out_dir, "baseparity.json")
+    with open(path, "wt") as fh:
+        json.dump(out, fh, indent=1)
+    log(f"wrote {path}")
+
+
+def _check_entry_fs(ref, rows):
+    """Entry-point aggregate (the reference's own fs_osd prints) vs the
+    instrumented loop's aggregate on the same prefix."""
+    ent = ref.get("fs_entry")
+    if not ent or not ent.get("s_f"):
+        return None
+    m = ent["frames"]
+    s = sum(rows["success_literal"][:m])
+    return {"frames": m, "entry_s_f": ent["s_f"],
+            "instrumented_s_f": [s, m - s],
+            "match": list(ent["s_f"]) == [s, m - s]}
+
+
+def _check_entry_pb(ref, rows):
+    ent = ref.get("pb_entry")
+    if not ent or not ent.get("s_f"):
+        return None
+    idx = ent["indices"]
+    s = sum(rows["success"][i] for i in idx)
+    return {"frames": len(idx), "entry_s_f": ent["s_f"],
+            "instrumented_s_f": [s, len(idx) - s],
+            "match": list(ent["s_f"]) == [s, len(idx) - s]}
+
+
+# ---------------------------------------------------------------------------
 # combine
 # ---------------------------------------------------------------------------
 
@@ -591,7 +1106,8 @@ def main():
     ap.add_argument(
         "--mode",
         choices=["fw", "ref", "combine", "throughput",
-                 "fw-walk", "ref-walk", "combine-walk"],
+                 "fw-walk", "ref-walk", "combine-walk",
+                 "fw-base", "ref-base", "combine-base"],
         required=True,
     )
     ap.add_argument("--out-dir", default="runs/refparity")
@@ -604,11 +1120,21 @@ def main():
     ap.add_argument("--walk-run", default="runs/r4_pipeline",
                     help="run dir with trained NMS/DIA/stopper + path")
     ap.add_argument("--walk-frames", type=int, default=128)
+    ap.add_argument("--base-failures",
+                    default="runs/r4_baselines/baseline_failures_3.00dB.npz")
+    ap.add_argument("--base-frames", type=int, default=256)
+    ap.add_argument("--entry-frames", type=int, default=32,
+                    help="frames fed to the actual fs_osd/pb_osd entry points")
+    ap.add_argument("--pb-pop-cap", type=int, default=4096,
+                    help="pop cap for the eager reference PB loop")
+    ap.add_argument("--which", choices=["fs", "pb", "both"], default="both")
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
     {"fw": run_fw, "ref": run_ref, "combine": run_combine,
      "throughput": run_throughput, "fw-walk": run_fw_walk,
-     "ref-walk": run_ref_walk, "combine-walk": run_combine_walk}[args.mode](args)
+     "ref-walk": run_ref_walk, "combine-walk": run_combine_walk,
+     "fw-base": run_fw_base, "ref-base": run_ref_base,
+     "combine-base": run_combine_base}[args.mode](args)
 
 
 if __name__ == "__main__":

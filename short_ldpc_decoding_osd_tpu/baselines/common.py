@@ -107,16 +107,22 @@ def tep_distances(terms: dict, teps: jnp.ndarray, p_matrix: jnp.ndarray):
     teps: (N, k) static 0/1; p_matrix: (B, k, n-k).
     Returns wd (B, N), hd (B, N) and a(B, N, n-k)? — no, the LRB flip matrix
     is reduced immediately; only distances are materialized."""
+    # Precision.HIGHEST on every distance-bearing contraction: on TPU the
+    # default f32 matmul truncates operands to bf16 (~1e-3 relative), which
+    # flips float-tie stop decisions vs the reference's exact-f32 CPU math
+    # (the same fix the production walk needed, docs/REFPARITY.md §6).
+    # Measured cost at baseline scale: nil.
+    hi = jax.lax.Precision.HIGHEST
     tep_f = teps.astype(jnp.float32)
     prods = jnp.einsum(
         "bkl,nk->bnl", p_matrix.astype(jnp.float32), tep_f,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=hi,
     )  # (B, N, n-k) = e @ P
     a = prods - 2.0 * jnp.floor(prods * 0.5)
-    wd = terms["c_w"][:, None] + terms["uw_m"] @ tep_f.T + jnp.einsum(
-        "bl,bnl->bn", terms["uw_l"], a
-    )
-    hd = terms["c_h"][:, None] + terms["uh_m"] @ tep_f.T + jnp.einsum(
-        "bl,bnl->bn", terms["uh_l"], a
-    )
+    wd = terms["c_w"][:, None] + jnp.matmul(
+        terms["uw_m"], tep_f.T, precision=hi
+    ) + jnp.einsum("bl,bnl->bn", terms["uw_l"], a, precision=hi)
+    hd = terms["c_h"][:, None] + jnp.matmul(
+        terms["uh_m"], tep_f.T, precision=hi
+    ) + jnp.einsum("bl,bnl->bn", terms["uh_l"], a, precision=hi)
     return wd, hd, a

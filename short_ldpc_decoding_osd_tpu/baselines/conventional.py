@@ -65,7 +65,8 @@ def conventional_osd(inputs, labels, g, k: int, order_limit: int = 3, chunk: int
     # reconstruct the chosen candidate and compare to the label
     tep_sel = jnp.asarray(teps)[best].astype(jnp.float32)  # (B, k)
     mrb_c = jnp.abs(terms["mrb0"] - tep_sel)  # xor with 0/1 floats
-    prods = jnp.einsum("bk,bkl->bl", tep_sel, prep["p_matrix"].astype(jnp.float32))
+    prods = jnp.einsum("bk,bkl->bl", tep_sel, prep["p_matrix"].astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST)
     a = prods - 2.0 * jnp.floor(prods * 0.5)
     lrb_c = jnp.abs(terms["lrb0"] - a)
     cand = jnp.concatenate([mrb_c, lrb_c], axis=1)

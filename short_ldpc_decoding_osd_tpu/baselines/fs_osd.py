@@ -15,11 +15,16 @@ reproduced without any serial loop (SURVEY.md §7 decision 5):
    * per-order PNC bound: order j is entered only if its reliability lower
      bound (+ beta*(n-k) slack) is below the running best at its boundary.
 
-Divergence (conscious, documented): when tau_e fires mid-search the
-reference scores the *stale* best-so-far codeword against the label
-(``fs_testing.py:143-147`` breaks before the update at ``:150-152``) even
-though it appends the tau_e codeword to its result list; here the tau_e
-codeword itself is scored, which is the intended FS-OSD semantics.
+Divergence (conscious, documented, and now switchable): when tau_e fires
+mid-search the reference scores the *stale* best-so-far codeword against the
+label (``fs_testing.py:143-147`` breaks before the update at ``:150-152``)
+even though it appends the tau_e codeword to its result list
+(``optimal_list``).  The default here scores the tau_e codeword itself
+(the intended FS-OSD semantics and what ``optimal_list`` holds); pass
+``score_tau_e_codeword=False`` to reproduce the reference's literal line-162
+scoring bit-for-bit — the per-frame cross-check in
+``scripts/reference_parity.py --mode {fw,ref,combine}-base`` runs both and
+quantifies the gap (docs/REFPARITY.md §7).
 """
 
 from __future__ import annotations
@@ -77,6 +82,7 @@ def fs_osd(
     d_min: int = 14,
     tau_psc: int = 30,
     chunk: int = 2048,
+    score_tau_e_codeword: bool = True,
 ):
     """Batched FS-OSD.  Returns per-frame success flags + TEP counts."""
     n = inputs.shape[1]
@@ -129,13 +135,25 @@ def fs_osd(
     processed = jnp.where(e_stop_valid, first_e + 1, gate_stop_idx)
     num_teps = 1 + jnp.where(zero_stop, 0, processed)
 
-    # final TEP: tau_e winner, else the runmin argmin among processed TEPs
+    # final TEP: tau_e winner, else the runmin argmin among processed TEPs.
+    # Literal reference semantics (score_tau_e_codeword=False): the frame is
+    # judged on the best psc-qualified codeword found BEFORE the tau_e TEP
+    # (fs_testing.py:162 scores the stale ``optimal_codeword`` variable; the
+    # break at :147 happens before the :150-152 update)
     idx = jnp.arange(n_teps)[None, :]
-    in_range = idx < processed[:, None]
+    scored_lim = jnp.where(
+        e_stop_valid,
+        jnp.where(score_tau_e_codeword, first_e + 1, first_e),
+        gate_stop_idx,
+    )
+    in_range = idx < scored_lim[:, None]
     wd_masked = jnp.where(jnp.logical_and(psc_ok, in_range), wd, jnp.inf)
     best_idx = jnp.argmin(wd_masked, axis=1)
     best_wd = jnp.min(wd_masked, axis=1)
-    chosen_is_e = jnp.logical_and(e_stop_valid, jnp.logical_not(zero_stop))
+    chosen_is_e = jnp.logical_and(
+        jnp.logical_and(e_stop_valid, jnp.logical_not(zero_stop)),
+        score_tau_e_codeword,
+    )
     chosen_idx = jnp.where(chosen_is_e, first_e, best_idx)
     use_zero = jnp.where(
         chosen_is_e, False, jnp.logical_or(zero_stop, best_wd >= wd0)
@@ -144,7 +162,8 @@ def fs_osd(
     tep_all = jnp.asarray(teps).astype(jnp.float32)
     tep_sel = jnp.where(use_zero[:, None], 0.0, tep_all[chosen_idx])
     mrb_c = jnp.abs(terms["mrb0"] - tep_sel)
-    prods = jnp.einsum("bk,bkl->bl", tep_sel, prep["p_matrix"].astype(jnp.float32))
+    prods = jnp.einsum("bk,bkl->bl", tep_sel, prep["p_matrix"].astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST)
     a = prods - 2.0 * jnp.floor(prods * 0.5)
     lrb_c = jnp.abs(terms["lrb0"] - a)
     cand = jnp.concatenate([mrb_c, lrb_c], axis=1)

@@ -42,6 +42,33 @@ def weight_limited_teps(k: int, order_limit: int) -> np.ndarray:
     return np.stack(rows)
 
 
+def _tep_push_counts(teps: np.ndarray, k: int, order_limit: int) -> np.ndarray:
+    """Successors each TEP pushes when popped (``optimal_tep_sequence``,
+    ``pb_testing.py:366-397``): an "extended" TEP (append position k-1) iff
+    the rightmost 1 is left of k-1 and the weight is below the order limit,
+    and an "adjacent" TEP (move the rightmost 1 one position left) iff that
+    slot is free.  The successor graph is a TREE — every TEP of weight
+    1..order_limit has exactly one parent (extended children end at k-1;
+    adjacent children are recovered by moving their rightmost 1 back right)
+    — so the reference's dedupe (``append_row_if_not_exists``) never fires
+    and the maintained-list size is a pure function of the pop order:
+    size_before_pop(t) = 1 + sum_{j<t} pushes(pop_j) - t."""
+    counts = np.zeros(len(teps), np.int32)
+    for i, t in enumerate(teps):
+        nz = np.nonzero(t)[0]
+        w, r = len(nz), nz[-1]
+        c = 0
+        if r < k - 1 and w < order_limit:
+            c += 1  # extended successor exists
+        if w > 1:
+            if nz[-1] - nz[-2] > 1:
+                c += 1  # adjacent slot free
+        elif r > 0:
+            c += 1
+        counts[i] = c
+    return counts
+
+
 def _log_binom_table(n: int) -> np.ndarray:
     lg = np.zeros(n + 1)
     for i in range(1, n + 1):
@@ -120,8 +147,10 @@ def pb_osd(
     def body(_, tep_chunk):
         tep_f = tep_chunk.astype(jnp.float32)
         wd, _, a = common.tep_distances(terms, tep_chunk, prep["p_matrix"])
-        relsum = w_m @ tep_f.T  # (B, chunk)
-        logprod = c_p[:, None] + jnp.einsum("bl,bnl->bn", v_p, a)
+        relsum = jnp.matmul(w_m, tep_f.T,
+                            precision=jax.lax.Precision.HIGHEST)  # (B, chunk)
+        logprod = c_p[:, None] + jnp.einsum("bl,bnl->bn", v_p, a,
+                                            precision=jax.lax.Precision.HIGHEST)
         return None, (wd, relsum, logprod)
 
     _, (wds, rels, lps) = jax.lax.scan(body, None, chunks)
@@ -177,19 +206,38 @@ def pb_osd(
     tep_all = jnp.asarray(teps).astype(jnp.float32)
     tep_sel = jnp.where(use_zero[:, None], 0.0, tep_all[chosen_tep_idx])
     mrb_c = jnp.abs(terms["mrb0"] - tep_sel)
-    prods = jnp.einsum("bk,bkl->bl", tep_sel, prep["p_matrix"].astype(jnp.float32))
+    prods = jnp.einsum("bk,bkl->bl", tep_sel, prep["p_matrix"].astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST)
     a = prods - 2.0 * jnp.floor(prods * 0.5)
     lrb_c = jnp.abs(terms["lrb0"] - a)
     cand = jnp.concatenate([mrb_c, lrb_c], axis=1)
     success = jnp.all(cand == prep["labels"].astype(jnp.float32), axis=1)
 
-    # reference side metrics: w_de evaluations and improvement count
+    # reference side metrics: w_de evaluations and improvement count.
+    # suc2 counts pops that reached the p_e_suc evaluation (pb_testing.py:139-144)
+    # — a pop where the PRO stop fired never gets its improvement counted,
+    # so the range is idx < limit plus the suc-firing pop itself.
     eval_mask = jnp.logical_and(idx < limit[:, None], jnp.logical_not(unpromising))
     suc1 = jnp.sum(eval_mask.astype(jnp.int32), axis=1) + stopped_by_suc.astype(
         jnp.int32
     )
     suc2 = jnp.sum(
-        jnp.logical_and(improvement, idx < cost[:, None]).astype(jnp.int32), axis=1
+        jnp.logical_and(improvement, idx < limit[:, None]).astype(jnp.int32), axis=1
+    ) + stopped_by_suc.astype(jnp.int32)
+
+    # maintained-list-length metric (pb_testing.py:120-122,166,196-209):
+    # memory_sum accumulates a per-pop comparison counter — 1 while the
+    # priority list holds a single TEP, else 2.  The list size follows the
+    # static successor tree (see _tep_push_counts); pops executed =
+    # first_stop+1 on an early stop, else N_max-1 (the loop range).
+    pushes = jnp.asarray(_tep_push_counts(teps, k, order_limit), jnp.int32)
+    pushes_s = jnp.take(pushes, order)  # (B, N) pushes in visiting order
+    cum_push = jnp.cumsum(pushes_s, axis=1) - pushes_s  # exclusive
+    size_before = 1 + cum_push - idx  # list size before pop t
+    comparison = jnp.where(size_before <= 1, 1, 2).astype(jnp.int32)
+    pops = jnp.where(any_stop, cost, n_max - 1)
+    maintained = jnp.sum(
+        jnp.where(idx < pops[:, None], comparison, 0), axis=1
     )
     return {
         "success": success,
@@ -199,4 +247,5 @@ def pb_osd(
         "stopped_by_pro": jnp.logical_and(any_stop, jnp.logical_not(stopped_by_suc)),
         "suc_evals": suc1,
         "improvements": suc2,
+        "maintained_list": maintained,
     }

@@ -445,6 +445,10 @@ def _run_baseline(args):
                 "fer_osd": float((~succ).mean()),
                 "avg_teps": float(np.asarray(res["num_teps"]).mean()),
                 "suc_evals": float(np.asarray(res["suc_evals"]).mean()),
+                # reference "Maintained_list" metric (pb_testing.py:196-209)
+                "maintained_list": float(
+                    np.asarray(res["maintained_list"]).mean()
+                ),
             }
         out["fer_nms"] = fer_nms
         if "fer_osd" in out:

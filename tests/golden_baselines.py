@@ -106,3 +106,41 @@ def pb_golden(inputs, labels, p, k, teps, snr_db, order_limit):
     if cost is None:
         cost = len(order) + 1
     return (opt == labels).all(), cost
+
+
+def pb_queue_golden(mag_mrb, order_limit, n_pops):
+    """Dynamic priority-list TEP enumeration exactly as the reference
+    (``PB_OSD/pb_testing.py:339-397``): an actual maintained list, min-pop
+    by MRB reliability sum, extend/adjacent successor pushes with an
+    existence check.  mag_mrb must be DESCENDING (the G-domain MRB layout).
+    Returns (popped TEP index-tuples, per-pop comparison counters, max list
+    size).  Raises if the reference's dedupe would ever fire — the successor
+    graph is a tree, which is what makes the framework's static
+    maintained-list computation exact."""
+    k = len(mag_mrb)
+    lst = [(k - 1,)]
+    seen = {(k - 1,)}
+    popped, counters = [], []
+    max_size = 1
+    for _ in range(n_pops):
+        rels = [sum(mag_mrb[list(t)]) for t in lst]
+        i = int(np.argmin(rels))
+        counters.append(1 if len(lst) == 1 else 2)
+        t = lst.pop(i)
+        popped.append(t)
+        nz = list(t)
+        pushes = []
+        if nz[-1] < k - 1 and len(nz) < order_limit:
+            pushes.append(tuple(nz + [k - 1]))  # extended
+        if len(nz) > 1:
+            if nz[-1] - nz[-2] > 1:
+                pushes.append(tuple(nz[:-1] + [nz[-1] - 1]))  # adjacent
+        elif nz[-1] - 1 > -1:
+            pushes.append((nz[-1] - 1,))
+        for nt in pushes:
+            if nt in seen:
+                raise AssertionError(f"duplicate push {nt}: tree claim violated")
+            seen.add(nt)
+            lst.append(nt)
+        max_size = max(max_size, len(lst))
+    return popped, counters, max_size

@@ -122,3 +122,70 @@ def test_miracle_view_counts(small_code):
     floor0 = conventional.miracle_fer_floor(counter, 0)
     floor2 = conventional.miracle_fer_floor(counter, 2)
     assert 0.0 <= floor2 <= floor0 <= 1.0
+
+
+def test_pb_pop_order_matches_dynamic_queue():
+    """The static ascending-reliability visiting order IS the reference's
+    dynamic priority-queue pop order (pb_testing.py:339-397), and the
+    maintained-list comparison counters follow the static successor tree."""
+    k, order_limit = 12, 3
+    rng = np.random.default_rng(11)
+    mag = np.sort(rng.uniform(0.05, 3.0, k))[::-1].copy()  # descending MRB
+    teps = pb_osd.weight_limited_teps(k, order_limit)
+    n_teps = len(teps)
+    # static order: ascending reliability sum, ties by enumeration index
+    rels = teps @ mag
+    static_order = np.argsort(rels, kind="stable")
+    popped, counters, _ = gb.pb_queue_golden(mag, order_limit, n_teps)
+    static_tuples = [tuple(np.nonzero(teps[i])[0]) for i in static_order]
+    assert popped == static_tuples
+    # static push-count simulation reproduces the per-pop counters
+    pushes = pb_osd._tep_push_counts(teps, k, order_limit)[static_order]
+    size_before = 1 + np.cumsum(pushes) - pushes - np.arange(n_teps)
+    static_counters = np.where(size_before <= 1, 1, 2)
+    assert list(static_counters) == counters
+    # the queue drains exactly at the last pop (tree covers all TEPs once)
+    assert size_before[-1] == 1
+
+
+def test_pb_maintained_list_metric_matches_queue():
+    """pb_osd's maintained_list output equals the dynamic-queue accounting
+    truncated at the stop (memory_sum in pb_testing.py:120-122,166)."""
+    code = make_regular_ldpc(32, 16, row_weight=4, seed=5)
+    llr, words = _noisy_batch(code, 8, 1.5, 7)
+    order_limit = 2
+    out = pb_osd.pb_osd(
+        jnp.asarray(llr), jnp.asarray(words), code.g, code.k,
+        snr_db=1.5, order_limit=order_limit, chunk=64,
+    )
+    teps = pb_osd.weight_limited_teps(code.k, order_limit)
+    n_max = 1 + len(teps)
+    for i in range(8):
+        in_ref, _, _ = gb.host_prepare_g(llr[i], words[i], code.g, code.k)
+        mag = np.abs(in_ref[: code.k])
+        cost = int(out["num_teps"][i])
+        pops = cost if cost < n_max else n_max - 1
+        _, counters, _ = gb.pb_queue_golden(mag, order_limit, pops)
+        assert int(out["maintained_list"][i]) == sum(counters), i
+
+
+def test_fs_literal_vs_intended_tau_e_scoring(small_code):
+    """score_tau_e_codeword=False reproduces the reference's literal
+    line-162 scoring: on a tau_e mid-search stop the stale best-so-far is
+    judged, not the tau_e codeword (fs_testing.py:143-162)."""
+    code = small_code
+    llr, words = _noisy_batch(code, 32, 1.0, 12)
+    kw = dict(order_limit=2, beta=0.1, d_min=5, tau_psc=10, chunk=128)
+    out_i = fs_osd.fs_osd(
+        jnp.asarray(llr), jnp.asarray(words), code.g, code.k,
+        score_tau_e_codeword=True, **kw)
+    out_l = fs_osd.fs_osd(
+        jnp.asarray(llr), jnp.asarray(words), code.g, code.k,
+        score_tau_e_codeword=False, **kw)
+    # counting is identical in both modes
+    np.testing.assert_array_equal(
+        np.asarray(out_i["num_teps"]), np.asarray(out_l["num_teps"]))
+    # scoring may only differ on tau_e mid-search frames
+    diff = np.asarray(out_i["success"]) != np.asarray(out_l["success"])
+    tau_e_frames = np.asarray(out_i["tau_e_stop"])
+    assert not np.any(diff & ~tau_e_frames)
