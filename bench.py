@@ -22,6 +22,12 @@ import time
 import numpy as np
 
 BATCH = int(os.environ.get("BENCH_BATCH", 2097152))
+# end-to-end two-phase system measurement (gen->NMS->capture->DIA->OSD at
+# the flagship operating point); needs the trained artifacts in SYSTEM_RUN
+SYSTEM = os.environ.get("BENCH_SYSTEM", "1") != "0"
+SYSTEM_RUN = os.environ.get("BENCH_SYSTEM_RUN", "runs/r4_pipeline")
+SYSTEM_FRAMES = int(os.environ.get("BENCH_SYSTEM_FRAMES", 2 ** 21))
+SYSTEM_SNR = float(os.environ.get("BENCH_SYSTEM_SNR", 3.0))
 # "bf16": single-pass bf16 matmuls in the edge kernel — validated
 # statistically indistinguishable from the 2-pass split mode at this
 # operating point (scripts/fer_mode_check.py: z = -0.03 over 2x8.4M frames)
@@ -149,6 +155,18 @@ def tpu_nms_throughput(code) -> tuple[float, dict]:
     m, n = h.shape
     flops_per_frame = 4.0 * dc * m * n * ITERS
     eff_tflops = rate * flops_per_frame / 1e12
+    # Honest second MFU line (r4 VERDICT weak #4): the one-hot model above
+    # counts the scatter/gather MATMULS as useful FLOPs — an attribution
+    # ceiling, since each one-hot contraction does n x redundant MACs to ride
+    # the MXU.  The algorithmic model counts only the edge-message math an
+    # ideal NMS decoder must do per iteration over E = sum(H) edges:
+    # column-total build (E) + extrinsic subtract (E) + min/submin tournament
+    # (~2E) + sign product/select (~2E) + normalize (E) + marginalize (E)
+    # ~= 8E flops/frame/iter.  Both are reported; perf claims should quote
+    # the pair.
+    edges = float(h.sum())
+    flops_algorithmic = 8.0 * edges * ITERS
+    alg_tflops = rate * flops_algorithmic / 1e12
     dev = str(jax.devices()[0])
     peak = 197.0 if "v5 lite" in dev or "v5e" in dev else None
     info = {
@@ -163,11 +181,139 @@ def tpu_nms_throughput(code) -> tuple[float, dict]:
         "mfu_pct_vs_bf16_peak": (
             round(100.0 * eff_tflops / peak, 1) if peak else None
         ),
+        "flops_per_frame_algorithmic": flops_algorithmic,
+        "algorithmic_tflops": round(alg_tflops, 2),
+        "mfu_pct_algorithmic": (
+            round(100.0 * alg_tflops / peak, 2) if peak else None
+        ),
     }
     if KERNEL == "compact":
         info["t1"] = T1
         info["compact_overflow"] = float(c[5])
     return rate, info
+
+
+def system_two_phase_throughput(code) -> dict | None:
+    """End-to-end TWO-PHASE system measurement (r4 VERDICT item 2): sample ->
+    NMS decode -> failure capture -> trajectory re-decode -> DIA refine ->
+    sliding-OSD walk, at the flagship operating point, with the r4-trained
+    artifacts.  The reference's equivalent is the stage-5 + stage-6 chain
+    (``Ldpc_128_testing/ldpc_128_testing.py`` +
+    ``DL_OSD_Testing_serial/nn_testing.py:159-256``, per-frame process_time).
+
+    Returns system codewords/s (frames through BOTH phases / total wall),
+    OSD failures/s, and the phase attribution split."""
+    import jax.numpy as jnp
+
+    from short_ldpc_decoding_osd_tpu.mc import run_nms_mc
+    from short_ldpc_decoding_osd_tpu.models import (
+        canonical_dia_name,
+        make_dia,
+        stopper_engine_params,
+    )
+    from short_ldpc_decoding_osd_tpu.osd import engine, segments
+    from short_ldpc_decoding_osd_tpu.pipeline.recipe import RunDir
+
+    if not os.path.exists(os.path.join(SYSTEM_RUN, "config.json")):
+        return None
+    run = RunDir(SYSTEM_RUN)
+    cfg = run.load_json("config.json")
+    from short_ldpc_decoding_osd_tpu.codes import get_code
+
+    code = get_code(cfg.get("code_name", "ccsds_128_64"))
+    variant = cfg.get("variant", "NMS-1")
+    iters = int(cfg.get("num_iterations", 12))
+    dia_name = canonical_dia_name(cfg.get("dia_model", "model_cnn"))
+    nms_params = run.load_pickle("nms_params.pkl")
+    dia_params = run.load_pickle(f"dia_{dia_name}.pkl")
+    s_params = run.load_pickle("stopper_params.pkl")
+    path = run.load_json("decoding_path.json")["path"]
+    model = make_dia(dia_name, code.n, iters + 1)
+    blocks, acc = segments.build_tep_blocks(
+        path, code.k, int(cfg.get("num_segments", 6))
+    )
+    teps, mask, bounds = segments.pack_tep_chunks(blocks)
+    fcn = stopper_engine_params(s_params)
+    # fused failure hand-off: capture keeps only the raw (N, n) LLR rows on
+    # the host; trajectory re-decode + DIA + OSD walk run as ONE device
+    # program per 4096-failure chunk (engine.make_dl_osd_step_from_llr) —
+    # no (N, T+1, n) round-trip through the tunnel
+    osd_step = engine.make_dl_osd_step_from_llr(
+        model, code, variant, iters,
+        window=int(cfg.get("window", 5)),
+        soft_margin=float(cfg.get("soft_margin", 0.9)),
+        bounds=bounds,
+    )
+    teps_d, mask_d = jnp.asarray(teps), jnp.asarray(mask)
+    acc_d = jnp.asarray(acc, jnp.int32)
+
+    osd_b = 4096
+
+    def osd_all(llr, labels):
+        """Walk every captured failure in osd_b-frame fused steps."""
+        n_f = len(llr)
+        pad = (-n_f) % osd_b
+        if pad:
+            llr = np.concatenate([llr, np.tile(llr[:1], (pad, 1))])
+            labels = np.concatenate([labels, np.tile(labels[:1], (pad, 1))])
+        pending = []  # keep dispatch async; sync once after the loop
+        for i in range(0, len(llr), osd_b):
+            out, _, det = osd_step(
+                nms_params, dia_params,
+                jnp.asarray(llr[i : i + osd_b], jnp.float32),
+                jnp.asarray(labels[i : i + osd_b], jnp.int32),
+                teps_d, mask_d, acc_d, fcn,
+            )
+            pending.append((out["success"], det, min(osd_b, n_f - i)))
+        succ = unconfirmed = 0
+        for s_dev, det_dev, live in pending:
+            d = np.asarray(det_dev)[:live]
+            succ += int((np.asarray(s_dev)[:live] & d).sum())
+            unconfirmed += int((~d).sum())
+        return succ, unconfirmed
+
+    # ---- warm both phases at the timed shapes (compiles are cached) ----
+    warm_stats, warm_fb = run_nms_mc(
+        code, nms_params, variant, iters, SYSTEM_SNR, batch=262144,
+        error_budget=10 ** 9, max_frames=262144, seed=4242,
+        capture_failures=True, capture_limit=SYSTEM_FRAMES,
+        capture_trajectories=False,
+    )
+    if warm_fb is not None and len(warm_fb.trajectories) >= 1:
+        osd_all(warm_fb.trajectories[:osd_b, 0], warm_fb.labels[:osd_b])
+
+    # ---- timed run ----
+    t0 = time.perf_counter()
+    stats, fb = run_nms_mc(
+        code, nms_params, variant, iters, SYSTEM_SNR, batch=262144,
+        error_budget=10 ** 9, max_frames=SYSTEM_FRAMES, seed=77,
+        capture_failures=True, capture_limit=SYSTEM_FRAMES,
+        capture_trajectories=False,
+    )
+    t1 = time.perf_counter()
+    n_fail = len(fb.trajectories)
+    succ, unconfirmed = (
+        osd_all(fb.trajectories[:, 0], fb.labels) if n_fail else (0, 0)
+    )
+    t2 = time.perf_counter()
+    total = t2 - t0
+    return {
+        "system_codewords_per_s": round(stats.frames / total, 1),
+        "system_frames": stats.frames,
+        "system_snr_db": SYSTEM_SNR,
+        "system_failures": n_fail,
+        "system_osd_failures_per_s": (
+            round(n_fail / (t2 - t1), 1) if n_fail else None
+        ),
+        "system_osd_success": succ,
+        "system_osd_unconfirmed": unconfirmed,
+        "system_split_s": {
+            "phase1_nms_capture": round(t1 - t0, 3),
+            "phase2_dia_osd": round(t2 - t1, 3),
+        },
+        "system_fer_nms": stats.fer,
+        "system_run_dir": SYSTEM_RUN,
+    }
 
 
 def main():
@@ -188,6 +334,13 @@ def main():
         except Exception:
             tf_rate = None
     tpu_rate, info = tpu_nms_throughput(code)
+    if SYSTEM:
+        try:
+            sys_info = system_two_phase_throughput(code)
+        except Exception as e:  # system metric must not break the headline
+            sys_info = {"system_error": f"{type(e).__name__}: {e}"}
+        if sys_info:
+            info.update(sys_info)
     baseline = tf_rate if tf_rate else cpu_rate
     result = {
         "metric": "nms_decoded_codewords_per_s_1chip",

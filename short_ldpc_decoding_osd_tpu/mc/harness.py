@@ -108,6 +108,12 @@ class FailureBatch:
     # the capture set carries a small one-directional selection bias (the
     # stats counters likewise remain the flagging kernel's)
     mismatches: int = 0
+    # False in raw-capture mode (run_nms_mc(capture_trajectories=False)):
+    # trajectories then hold only the (count, 1, n) channel LLR rows, the
+    # bit-exact confirmation re-decode was SKIPPED, and the consumer (the
+    # fused osd.engine.make_dl_osd_step_from_llr step) re-decodes on device
+    # and returns per-frame detected flags instead
+    confirmed: bool = True
 
 
 # (code.name, variant, iters, batch, capacity, all_zeros, spec-structure,
@@ -341,6 +347,7 @@ def run_nms_mc(
     seed: int = 0,
     capture_failures: bool = False,
     capture_limit: int = 100_000,
+    capture_trajectories: bool = True,
     spec: ChannelSpec | None = None,
     progress: bool = False,
     mesh=None,
@@ -521,10 +528,20 @@ def run_nms_mc(
     if capture_failures:
         if traj_list:
             llrs = np.concatenate(traj_list)
+            labels = np.concatenate(label_list)
+            if not capture_trajectories:
+                # raw mode: hand off only the (N, n) channel rows; the
+                # consumer re-decodes on device (see FailureBatch.confirmed)
+                failures = FailureBatch(
+                    trajectories=llrs[:, None, :],
+                    labels=labels,
+                    overflow=overflow,
+                    confirmed=False,
+                )
+                return stats, failures
             traj = trajectories_for_llrs(
                 code, params, variant, num_iterations, llrs
             )
-            labels = np.concatenate(label_list)
             # the capture kernel may be the fast edge kernel, whose failure
             # flags agree with the XLA decoder only to f32 rounding; keep
             # exactly the frames the bit-exact re-decode confirms
@@ -539,10 +556,12 @@ def run_nms_mc(
                 mismatches=mismatches,
             )
         else:
+            rows = num_iterations + 1 if capture_trajectories else 1
             failures = FailureBatch(
-                trajectories=np.zeros((0, num_iterations + 1, code.n), np.float32),
+                trajectories=np.zeros((0, rows, code.n), np.float32),
                 labels=np.zeros((0, code.n), np.int32),
                 overflow=overflow,
+                confirmed=capture_trajectories,
             )
     return stats, failures
 

@@ -601,3 +601,72 @@ def make_dl_osd_step(model, h, k: int, window: int = 5,
         return state["slow"](*args)
 
     return run
+
+
+def make_dl_osd_step_from_llr(model, code, variant: str, num_iterations: int,
+                              window: int = 5, soft_margin: float = 0.9,
+                              bounds: tuple | None = None):
+    """Fused phase-2 step consuming RAW failure LLRs: the (T+1)-iteration
+    trajectory re-decode, DIA refinement, OSD preparation and the sliding
+    walk run as ONE XLA program — the failure hand-off between phases stays
+    on device (SURVEY.md §7 decision 6), replacing the reference's
+    stage-5 -> stage-6 TFRecord file hop (``ms_test.py:245-272`` ->
+    ``nn_testing.py:159-256``).  vs ``make_dl_osd_step`` this removes the
+    (N, T+1, n) trajectory round-trip through the host (~1.3 GB per 200k
+    failures over the axon tunnel).
+
+    Returns ``step(nms_params, dia_params, llr, labels, teps, mask, acc,
+    fcn_params) -> (outputs, refined, detected)`` where ``detected`` is the
+    per-frame detected-failure flag of the bit-exact re-decode
+    (``nms.frame_stats``'s rule) — rows the capture kernel flagged that the
+    re-decode does not confirm carry ``detected=False`` and should be
+    excluded from OSD accounting by the caller (the one-sided mismatch
+    accounting documented on ``mc.harness.FailureBatch``)."""
+    from ..ops import nms
+
+    decode_h = code.extended().h if variant == "ENMS" else code.h
+    h_dec = jnp.asarray(decode_h, jnp.float32)
+    h_osd = jnp.asarray(code.h_osd)
+    edge_cols = (
+        jnp.asarray(nms.edge_columns(decode_h)) if variant == "NMS-r" else None
+    )
+    k = code.k
+
+    def build(use_kernel):
+        @jax.jit
+        def step(nms_params, dia_params, llr, labels, teps, mask, acc,
+                 fcn_params):
+            outs = nms.decode(
+                nms_params, h_dec, llr, num_iterations, variant, edge_cols
+            )
+            traj = jnp.transpose(outs, (1, 0, 2))  # (B, T+1, n)
+            st = nms.frame_stats(traj[:, -1], labels, h_dec)
+            refined = model.refine_fast(dia_params, traj)
+            prep = prepare(refined, llr, labels, h_osd, k)
+            out = sliding_osd(
+                prep, teps, mask, acc, fcn_params, k,
+                window=window, soft_margin=soft_margin, bounds=bounds,
+                use_kernel=use_kernel,
+            )
+            return out, refined, st["detected_failure"]
+
+        return step
+
+    fast = build(None)
+    state = {"demoted": False, "slow": None}
+
+    def run(*args):
+        if not state["demoted"]:
+            from ..mc.harness import _attempt_fused
+
+            status, val = _attempt_fused(
+                lambda: fast(*args), "fused DL-OSD-from-LLR step"
+            )
+            if status == "ok":
+                return val
+            state["demoted"] = True
+        if state["slow"] is None:
+            state["slow"] = build(False)
+        return state["slow"](*args)
+
+    return run

@@ -436,3 +436,97 @@ def test_sliding_walk_matches_reference_sliding_osd(ref_code, fw_code):
             assert bool(fw_success[i]) == (int(s) == 1), f"frame {i} S/F"
             assert int(fw_windows[i]) == int(w), f"frame {i} window count"
             assert int(fw_complexity[i]) == int(c), f"frame {i} TEP count"
+
+
+def _load_refparity_script():
+    import importlib.util
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "reference_parity.py",
+    )
+    spec = importlib.util.spec_from_file_location("refparity_script", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _baseline_frames(fw_code, batch, snr_db, seed):
+    rng = np.random.default_rng(seed)
+    words = fw_code.encode(rng.integers(0, 2, (batch, fw_code.k)))
+    sigma = np.sqrt(1.0 / (2 * fw_code.rate * 10 ** (snr_db / 10)))
+    rx = 1.0 + sigma * rng.standard_normal((batch, fw_code.n))
+    llr = np.where(words == 0, rx, -rx).astype(np.float32)
+    return llr, words.astype(np.int64)
+
+
+def test_fs_search_per_frame_parity(fw_code):
+    """CPU-sized instance of docs/REFPARITY.md §7: the framework's batched
+    FS-OSD vs the reference's own search loop (fs_testing.py:129-176,
+    driven through its one_tep_compare/acquire_pnc_boundary/swapped_info)
+    on identical frames — per-frame S/F (both scorings), TEP count and
+    stop kind must agree exactly."""
+    import types
+
+    import jax.numpy as jnp
+
+    from short_ldpc_decoding_osd_tpu.baselines import fs_osd
+
+    rp = _load_refparity_script()
+    llr, labels = _baseline_frames(fw_code, 8, 3.0, 21)
+    args = types.SimpleNamespace(entry_frames=0, pb_pop_cap=512, osd_snr=3.0)
+    ref_rows = rp._ref_fs_instrumented(llr, labels, args)
+    kw = dict(order_limit=3, beta=0.1, d_min=14, tau_psc=30)
+    out_i = fs_osd.fs_osd(jnp.asarray(llr), jnp.asarray(labels),
+                          fw_code.g, fw_code.k, **kw)
+    out_l = fs_osd.fs_osd(jnp.asarray(llr), jnp.asarray(labels),
+                          fw_code.g, fw_code.k,
+                          score_tau_e_codeword=False, **kw)
+    stop_names = np.asarray(["zero", "tau_e", "gate", "exhaust"])
+    fw_stop = stop_names[
+        np.where(np.asarray(out_i["zero_stop"]), 0,
+                 np.where(np.asarray(out_i["tau_e_stop"]), 1,
+                          np.where(np.asarray(out_i["gate_stop"]), 2, 3)))
+    ]
+    for i in range(len(llr)):
+        assert bool(out_i["success"][i]) == ref_rows["success_intended"][i], i
+        assert bool(out_l["success"][i]) == ref_rows["success_literal"][i], i
+        assert int(out_i["num_teps"][i]) == ref_rows["num_teps"][i], i
+        assert fw_stop[i] == ref_rows["stop"][i], i
+
+
+def test_pb_search_per_frame_parity(fw_code):
+    """CPU-sized §7 instance for PB-OSD: framework's static-sorted batched
+    search vs the reference's dynamic priority-list loop
+    (pb_testing.py:100-161).  Success and stop kind must agree per frame;
+    cost/maintained-list may differ only on documented p_e_pro float-tie
+    frames (none at this seed)."""
+    import types
+
+    import jax.numpy as jnp
+
+    from short_ldpc_decoding_osd_tpu.baselines import pb_osd
+
+    rp = _load_refparity_script()
+    llr, labels = _baseline_frames(fw_code, 8, 3.0, 22)
+    args = types.SimpleNamespace(entry_frames=0, pb_pop_cap=512, osd_snr=3.0)
+    ref_rows = rp._ref_pb_instrumented(llr, labels, 3.0, args, fw_cost=None)
+    out = pb_osd.pb_osd(jnp.asarray(llr), jnp.asarray(labels),
+                        fw_code.g, fw_code.k, snr_db=3.0, order_limit=3)
+    stop_names = np.asarray(["exhaust", "suc", "pro"])
+    fw_stop = stop_names[
+        np.where(np.asarray(out["stopped_by_suc"]), 1,
+                 np.where(np.asarray(out["stopped_by_pro"]), 2, 0))
+    ]
+    tie_frames = 0
+    for i in range(len(llr)):
+        if ref_rows["capped"][i]:
+            continue
+        assert bool(out["success"][i]) == ref_rows["success"][i], i
+        assert fw_stop[i] == ref_rows["stop"][i], i
+        if int(out["num_teps"][i]) != ref_rows["cost"][i]:
+            tie_frames += 1
+        else:
+            assert int(out["maintained_list"][i]) == ref_rows["maintained"][i], i
+            assert int(out["suc_evals"][i]) == ref_rows["suc1"][i], i
+    assert tie_frames <= 1  # documented float-tie allowance (§7: 4/254)
