@@ -205,7 +205,6 @@ def system_two_phase_throughput(code) -> dict | None:
     OSD failures/s, and the phase attribution split."""
     import jax.numpy as jnp
 
-    from short_ldpc_decoding_osd_tpu.mc import run_nms_mc
     from short_ldpc_decoding_osd_tpu.models import (
         canonical_dia_name,
         make_dia,
@@ -234,84 +233,136 @@ def system_two_phase_throughput(code) -> dict | None:
     )
     teps, mask, bounds = segments.pack_tep_chunks(blocks)
     fcn = stopper_engine_params(s_params)
-    # fused failure hand-off: capture keeps only the raw (N, n) LLR rows on
-    # the host; trajectory re-decode + DIA + OSD walk run as ONE device
-    # program per 4096-failure chunk (engine.make_dl_osd_step_from_llr) —
-    # no (N, T+1, n) round-trip through the tunnel
-    osd_step = engine.make_dl_osd_step_from_llr(
-        model, code, variant, iters,
-        window=int(cfg.get("window", 5)),
-        soft_margin=float(cfg.get("soft_margin", 0.9)),
-        bounds=bounds,
+
+    # ---- fully on-device two-phase loop ----
+    # The failure hand-off never touches the host: the capture step leaves
+    # its (CAP, n) flagged-LLR buffer on device and phase 2 (trajectory
+    # re-decode -> DIA -> sliding walk) consumes it as ONE jitted program
+    # (lax.map over 4096-frame chunks).  Per round: 2 dispatches, a few
+    # bytes of counters to the host at the very end.  Over the axon tunnel
+    # (~10-25 MB/s host<->device) a host hand-off of the same stream costs
+    # ~30 s per 2M frames — measured 71.8k cw/s vs this path's rate.
+    import jax
+
+    from short_ldpc_decoding_osd_tpu.channel import ChannelSpec
+    from short_ldpc_decoding_osd_tpu.mc.harness import build_nms_mc_step
+    from short_ldpc_decoding_osd_tpu.ops import nms as nms_ops
+
+    cap_b = 262144
+    cap = 32768  # ~12.5% of cap_b; E[failures] ~10.5% at 3.0 dB
+    osd_b = 4096
+    spec = ChannelSpec.awgn(SYSTEM_SNR, code.rate)
+    step = build_nms_mc_step(
+        code, variant, iters, spec, cap_b, capture_capacity=cap
     )
+    decode_h = code.extended().h if variant == "ENMS" else code.h
+    h_dec = jnp.asarray(decode_h, jnp.float32)
+    h_osd = jnp.asarray(code.h_osd)
+    window = int(cfg.get("window", 5))
+    soft_margin = float(cfg.get("soft_margin", 0.9))
     teps_d, mask_d = jnp.asarray(teps), jnp.asarray(mask)
     acc_d = jnp.asarray(acc, jnp.int32)
 
-    osd_b = 4096
+    def build_phase2(use_kernel):
+        @jax.jit
+        def phase2(nms_p, dia_p, llr_cap, labels_cap, fcn_p):
+            def chunk(args):
+                llr, labels = args
+                outs = nms_ops.decode(nms_p, h_dec, llr, iters, variant)
+                traj = jnp.transpose(outs, (1, 0, 2))
+                st = nms_ops.frame_stats(traj[:, -1], labels, h_dec)
+                refined = model.refine_fast(dia_p, traj)
+                prep = engine.prepare(
+                    refined, llr, labels.astype(jnp.int32), h_osd, code.k
+                )
+                out = engine.sliding_osd(
+                    prep, teps_d, mask_d, acc_d, fcn_p, code.k,
+                    window=window, soft_margin=soft_margin, bounds=bounds,
+                    use_kernel=use_kernel,
+                )
+                return out["success"], st["detected_failure"]
 
-    def osd_all(llr, labels):
-        """Walk every captured failure in osd_b-frame fused steps."""
-        n_f = len(llr)
-        pad = (-n_f) % osd_b
-        if pad:
-            llr = np.concatenate([llr, np.tile(llr[:1], (pad, 1))])
-            labels = np.concatenate([labels, np.tile(labels[:1], (pad, 1))])
-        pending = []  # keep dispatch async; sync once after the loop
-        for i in range(0, len(llr), osd_b):
-            out, _, det = osd_step(
-                nms_params, dia_params,
-                jnp.asarray(llr[i : i + osd_b], jnp.float32),
-                jnp.asarray(labels[i : i + osd_b], jnp.int32),
-                teps_d, mask_d, acc_d, fcn,
+            s, d = jax.lax.map(
+                chunk,
+                (llr_cap.reshape(-1, osd_b, code.n),
+                 labels_cap.reshape(-1, osd_b, code.n)),
             )
-            pending.append((out["success"], det, min(osd_b, n_f - i)))
-        succ = unconfirmed = 0
-        for s_dev, det_dev, live in pending:
-            d = np.asarray(det_dev)[:live]
-            succ += int((np.asarray(s_dev)[:live] & d).sum())
-            unconfirmed += int((~d).sum())
-        return succ, unconfirmed
+            return s.reshape(-1), d.reshape(-1)
 
-    # ---- warm both phases at the timed shapes (compiles are cached) ----
-    warm_stats, warm_fb = run_nms_mc(
-        code, nms_params, variant, iters, SYSTEM_SNR, batch=262144,
-        error_budget=10 ** 9, max_frames=262144, seed=4242,
-        capture_failures=True, capture_limit=SYSTEM_FRAMES,
-        capture_trajectories=False,
+        return phase2
+
+    phase2 = build_phase2(None)
+
+    key = jax.random.PRNGKey(77)
+
+    def capture_round(i):
+        return step(nms_params, jax.random.fold_in(key, i))
+
+    def full_round(i):
+        counters, capture_buf = capture_round(i)
+        s, d = phase2(
+            nms_params, dia_params, capture_buf["llr"],
+            capture_buf["labels"], fcn,
+        )
+        return counters, capture_buf["count"], s, d
+
+    # warm both phases (compiles cached); demote the Pallas walk like the
+    # production ladder if it cannot lower at this shape
+    from short_ldpc_decoding_osd_tpu.mc.harness import _attempt_fused
+
+    status, _ = _attempt_fused(
+        lambda: np.asarray(full_round(10 ** 6)[2]), "bench system phase2"
     )
-    if warm_fb is not None and len(warm_fb.trajectories) >= 1:
-        osd_all(warm_fb.trajectories[:osd_b, 0], warm_fb.labels[:osd_b])
+    if status != "ok":
+        phase2 = build_phase2(False)
+        np.asarray(full_round(10 ** 6)[2])
 
-    # ---- timed run ----
+    rounds = max(1, SYSTEM_FRAMES // cap_b)
+
+    # A: phase-1-only rate (capture steps, one sync)
     t0 = time.perf_counter()
-    stats, fb = run_nms_mc(
-        code, nms_params, variant, iters, SYSTEM_SNR, batch=262144,
-        error_budget=10 ** 9, max_frames=SYSTEM_FRAMES, seed=77,
-        capture_failures=True, capture_limit=SYSTEM_FRAMES,
-        capture_trajectories=False,
-    )
-    t1 = time.perf_counter()
-    n_fail = len(fb.trajectories)
-    succ, unconfirmed = (
-        osd_all(fb.trajectories[:, 0], fb.labels) if n_fail else (0, 0)
-    )
-    t2 = time.perf_counter()
-    total = t2 - t0
+    cs = [capture_round(i)[0] for i in range(rounds)]
+    np.asarray(cs[-1])
+    t_phase1 = time.perf_counter() - t0
+
+    # B: full two-phase rounds (one sync)
+    t0 = time.perf_counter()
+    results = [full_round(i) for i in range(rounds)]
+    host = [
+        (np.asarray(c), int(cnt), np.asarray(s), np.asarray(d))
+        for c, cnt, s, d in results
+    ]
+    t_total = time.perf_counter() - t0
+
+    frames = failures = succ = unconfirmed = overflow = 0
+    for c, cnt, s, d in host:
+        frames += int(c[0])
+        failures += int(c[3])
+        valid = min(cnt, cap)  # failure rows sort first in the buffer
+        overflow += max(0, int(c[3]) - cap)
+        sv, dv = s[:valid], d[:valid]
+        succ += int((sv & dv).sum())
+        unconfirmed += int((~dv).sum())
     return {
-        "system_codewords_per_s": round(stats.frames / total, 1),
-        "system_frames": stats.frames,
+        "system_codewords_per_s": round(frames / t_total, 1),
+        "system_frames": frames,
         "system_snr_db": SYSTEM_SNR,
-        "system_failures": n_fail,
+        "system_failures": failures,
+        "system_osd_rows_walked": rounds * cap,
         "system_osd_failures_per_s": (
-            round(n_fail / (t2 - t1), 1) if n_fail else None
+            round(failures / max(t_total - t_phase1, 1e-9), 1)
         ),
         "system_osd_success": succ,
         "system_osd_unconfirmed": unconfirmed,
+        "system_capture_overflow": overflow,
         "system_split_s": {
-            "phase1_nms_capture": round(t1 - t0, 3),
-            "phase2_dia_osd": round(t2 - t1, 3),
+            "phase1_nms_capture_only": round(t_phase1, 3),
+            "two_phase_total": round(t_total, 3),
+            "phase2_implied": round(t_total - t_phase1, 3),
         },
-        "system_fer_nms": stats.fer,
+        "system_fer_nms": round(
+            sum(int(c[1]) for c, *_ in host) / max(frames, 1), 6
+        ),
         "system_run_dir": SYSTEM_RUN,
     }
 

@@ -72,9 +72,40 @@ def pallas_check_and_perf():
     return {"pallas_cw_s": r_pallas, "xla_cw_s": r_xla, "maxerr": err}
 
 
+def monotonicity_report(points) -> dict:
+    """FER_total must not increase with SNR beyond CI noise (r4 VERDICT
+    weak #2: the r4 curve had a knee inversion from OSD budget noise).
+    Flags every adjacent inversion and whether it sits inside the
+    fer_total_ci overlap."""
+    pts = sorted(points, key=lambda p: p["snr_db"])
+    inversions = []
+    for a, b in zip(pts, pts[1:]):
+        if b["fer_total"] > a["fer_total"]:
+            ci_a = a.get("fer_total_ci")
+            ci_b = b.get("fer_total_ci")
+            within_ci = bool(
+                ci_a and ci_b and ci_b[0] <= ci_a[1]  # intervals overlap
+            )
+            inversions.append({
+                "snr_from": a["snr_db"], "snr_to": b["snr_db"],
+                "fer_from": a["fer_total"], "fer_to": b["fer_total"],
+                "within_ci_overlap": within_ci,
+            })
+    return {
+        "monotonic": not inversions,
+        "inversions": inversions,
+        "all_within_ci": all(i["within_ci_overlap"] for i in inversions),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument(
+        "--publication", action="store_true",
+        help="publication budgets: >=5000 OSD failures/point so the knee "
+             "is not binomial-noise-bound (r4 VERDICT item 3)",
+    )
     ap.add_argument("--skip-pallas", action="store_true")
     ap.add_argument("--run-dir", default="runs/validation")
     args = ap.parse_args()
@@ -98,6 +129,15 @@ def main():
             eval_batch=8192,
         )
         snrs = [2.0, 2.5, 3.0, 3.5]
+    elif args.publication:
+        cfg = RecipeConfig(
+            nms_error_budget=40_000,
+            osd_failure_budget=5000,
+            train_failure_target=20_000,
+            max_frames_per_snr=60_000_000,
+            eval_batch=8192,
+        )
+        snrs = [2.0, 2.2, 2.4, 2.6, 2.8, 3.0, 3.25, 3.5]
     else:
         cfg = RecipeConfig(
             nms_error_budget=40_000,
@@ -111,6 +151,8 @@ def main():
     curve = run_recipe(cfg, args.run_dir, snrs, log=log)
     results["curve"] = curve["points"]
     results["elapsed_s"] = time.time() - t0
+    results["monotonicity"] = monotonicity_report(curve["points"])
+    log(json.dumps(results["monotonicity"]))
     with open(os.path.join(args.run_dir, "validation_summary.json"), "wt") as fh:
         json.dump(results, fh, indent=1, default=str)
     log("DONE")

@@ -28,7 +28,11 @@ import numpy as np
 
 from ..ops import gf2ops
 
-_BIG = jnp.float32(3.4e38)
+# numpy scalar, NOT jnp: a module-level jnp scalar materializes a device
+# array at import, which initializes the XLA backend and breaks
+# jax.distributed.initialize() for any process that imports this package
+# before joining the cluster (found by the real 2-process test)
+_BIG = np.float32(3.4e38)
 
 
 @jax.tree_util.register_dataclass

@@ -297,7 +297,10 @@ def stage_eval_sweep(cfg: RecipeConfig, run: RunDir, nms_params, model, dia_para
             max_frames=max(int(cfg.max_frames_per_snr * portion), cap_batch),
             seed=cfg.seed + int(snr * 100),
             capture_failures=True,
-            capture_limit=max(cfg.osd_failure_budget * 4, 2000),
+            # 25% headroom over the walk budget (confirm-drop + stats); the
+            # old 4x multiplier cost ~100 MB of tunnel transfer per point at
+            # publication budgets for rows the walk never consumes
+            capture_limit=max(int(cfg.osd_failure_budget * 1.25), 2000),
         )
         nms_time = time.time() - t0
         # stage 6: OSD on (up to budget) captured failures
@@ -307,19 +310,40 @@ def stage_eval_sweep(cfg: RecipeConfig, run: RunDir, nms_params, model, dia_para
         ce_list = []
         ber_list = []
         if n_osd:
-            traj = jnp.asarray(fb.trajectories[:n_osd], jnp.float32)
-            labs = jnp.asarray(fb.labels[:n_osd], jnp.int32)
-            out, refined = osd_step(
-                dia_params, traj, labs, teps_j, mask_j,
-                jnp.asarray(acc, jnp.int32), fcn,
-            )
-            succ = np.asarray(out["success"])
+            # publication budgets (>=2000 failures/point, r4 VERDICT item 3)
+            # walk in FIXED 4096-frame chunks so one compile serves every
+            # point; small sets keep the exact-size single call (cheap on
+            # CPU tests, and the TPU compile cache already has those shapes)
+            osd_b = 4096 if n_osd > 4096 else n_osd
+            succ_parts, strict_parts, cplx_parts, win_parts = [], [], [], []
+            refined_parts = []
+            acc_j = jnp.asarray(acc, jnp.int32)
+            for i0 in range(0, n_osd, osd_b):
+                hi_i = min(i0 + osd_b, n_osd)
+                t_c = fb.trajectories[i0:hi_i]
+                l_c = fb.labels[i0:hi_i]
+                live = len(t_c)
+                if live < osd_b:  # pad the tail chunk to the compiled shape
+                    reps = osd_b - live
+                    t_c = np.concatenate([t_c, np.tile(t_c[:1], (reps, 1, 1))])
+                    l_c = np.concatenate([l_c, np.tile(l_c[:1], (reps, 1))])
+                out, refined = osd_step(
+                    dia_params, jnp.asarray(t_c, jnp.float32),
+                    jnp.asarray(l_c, jnp.int32), teps_j, mask_j, acc_j, fcn,
+                )
+                succ_parts.append(np.asarray(out["success"])[:live])
+                strict_parts.append(np.asarray(out["strict_success"])[:live])
+                cplx_parts.append(np.asarray(out["complexity"])[:live])
+                win_parts.append(np.asarray(out["window_num"])[:live])
+                refined_parts.append(np.asarray(refined)[:live])
+            succ = np.concatenate(succ_parts)
+            refined = np.concatenate(refined_parts)
             osd_stats = {
                 "success": int(succ.sum()),
                 "fail": int((~succ).sum()),
-                "strict_success": int(np.asarray(out["strict_success"]).sum()),
-                "complexity": float(np.asarray(out["complexity"]).mean()),
-                "windows": float(np.asarray(out["window_num"]).mean()),
+                "strict_success": int(np.concatenate(strict_parts).sum()),
+                "complexity": float(np.concatenate(cplx_parts).mean()),
+                "windows": float(np.concatenate(win_parts).mean()),
             }
             # per-iteration CE + BER over the failure set + the DIA-refined
             # slot (reference 'CE list'/'BER list' bookkeeping,
@@ -344,6 +368,25 @@ def stage_eval_sweep(cfg: RecipeConfig, run: RunDir, nms_params, model, dia_para
         fer_osd = osd_stats["fail"] / denom if denom else 0.0
         fer_total = fer_nms * fer_osd + stats.ufer  # undetected errors are final
         lo, hi = stats.fer_confidence()
+        # Wilson CI on the OSD stage and a delta-method CI on the product
+        # (r4 VERDICT weak #2: the curve carried fer_nms_ci only).  With
+        # independent binomial stages, var(log f_total) ~= var(log f_nms) +
+        # var(log f_osd); the product CI is f_total * exp(+-1.96 * se_log).
+        from ..utils.metrics import wilson_interval
+
+        osd_lo, osd_hi = wilson_interval(osd_stats["fail"], max(denom, 1))
+        if fer_nms > 0 and fer_osd > 0 and denom:
+            se_nms = np.sqrt(
+                fer_nms * (1 - fer_nms) / max(stats.frames, 1)) / fer_nms
+            se_osd = np.sqrt(
+                fer_osd * (1 - fer_osd) / denom) / fer_osd
+            se_log = float(np.sqrt(se_nms ** 2 + se_osd ** 2))
+            tot_ci = [
+                fer_nms * fer_osd * np.exp(-1.96 * se_log) + stats.ufer,
+                fer_nms * fer_osd * np.exp(1.96 * se_log) + stats.ufer,
+            ]
+        else:
+            tot_ci = [stats.ufer, hi * osd_hi + stats.ufer]
         point = {
             "snr_db": float(snr),
             "frames": stats.frames,
@@ -353,7 +396,9 @@ def stage_eval_sweep(cfg: RecipeConfig, run: RunDir, nms_params, model, dia_para
             "ufer": stats.ufer,
             "osd": osd_stats,
             "fer_osd": fer_osd,
+            "fer_osd_ci": [osd_lo, osd_hi],
             "fer_total": fer_total,
+            "fer_total_ci": [float(tot_ci[0]), float(tot_ci[1])],
             "nms_time_s": nms_time,
             "osd_time_s": osd_time,
             "nms_frames_per_s": stats.frames / max(nms_time, 1e-9),
