@@ -77,3 +77,27 @@ def test_multi_code_decode(name):
     soft = nms.decode_final(params, jnp.asarray(code.h), llr, 12, "NMS-1")
     st = nms.frame_stats(soft, words, jnp.asarray(code.h))
     assert float(jnp.mean(st["frame_error"])) < 0.9
+
+
+def test_rayleigh_sampler_moments_match_reference_formula(code):
+    """Statistical check of the block-fading sampler vs the reference's
+    construction (Testing_data_gen_128/data_generating.py:21-38):
+    h = (N(0,1) + jN(0,1))/sqrt(2) held constant per block, gain = |h| —
+    so E[gain] = sqrt(pi)/2 ~= 0.8862, E[gain^2] = 1, and the gain is
+    constant within each 16-sample fading block."""
+    spec = ChannelSpec.rayleigh_spec(60.0, code.rate, duration=1.0)  # sigma~0
+    assert spec.fading_block == 16
+    llr, words = sample_batch(
+        jax.random.PRNGKey(3), spec, jnp.asarray(code.g, jnp.float32), 4096,
+        all_zeros=True,  # bit 0 everywhere -> received == +gain + tiny noise
+    )
+    g = np.asarray(llr).reshape(-1)
+    n_blocks = len(g) // 16
+    blocks = g[: n_blocks * 16].reshape(n_blocks, 16)
+    # block constancy (noise at 60 dB is ~1e-3 of the gain)
+    assert np.max(np.std(blocks, axis=1)) < 1e-2
+    gains = blocks.mean(axis=1)
+    # moments: E[|h|] = sqrt(pi)/2, E[|h|^2] = 1, with ~1/sqrt(n) tolerance
+    se1 = np.sqrt((1 - np.pi / 4) / n_blocks)  # var(|h|) = 1 - pi/4
+    assert abs(gains.mean() - np.sqrt(np.pi) / 2) < 5 * se1
+    assert abs((gains ** 2).mean() - 1.0) < 5 * np.sqrt(1.0 / n_blocks)
