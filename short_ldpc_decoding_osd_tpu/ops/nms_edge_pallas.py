@@ -163,8 +163,15 @@ def auto_block_frames(m: int, n: int, dc: int, vmem_bytes: int = 16 * 2**20,
 
 def _decode_edge(dc, num_iterations, w_vc, w_chk, llr, scat_ref, gath_ref,
                  bias_ref, cv_ref, mode="split", slab_has_dummy=None,
-                 init_cv=True):
+                 init_cv=True, traj_ref=None, w_marg=None):
     """Shared iteration body; returns the final column sums (block, n).
+
+    ``traj_ref``: optional (T+1, block, n) VMEM ref — per-iteration soft
+    outputs in the ``nms.decode`` convention (slot 0 = channel input,
+    slot t = colsum after t updates + w_marg*llr).  Costs NO extra matmul:
+    slot t (1 <= t < T) is derived from the ``total`` the NEXT iteration
+    computes anyway (colsum_t = total_t - w_vc*llr); only the final slot
+    needs the closing scatter matmul the final-only path already does.
 
     Refs are the STACKED layout (``edge_layout_stacked``): scat (dc*m, n),
     gath (n, dc*m), bias (1, dc*m), cv scratch (block, dc*m) — one matmul
@@ -246,6 +253,8 @@ def _decode_edge(dc, num_iterations, w_vc, w_chk, llr, scat_ref, gath_ref,
     w = p * m
 
     def _chunk_iter(cv, win):
+        # ``total`` is also the previous iteration's colsum + w_vc*llr —
+        # the trajectory store below reuses it (see traj_ref docstring)
         total = dot_scat(cv) + win
         vc = dot_gath(total) - cv
         if any_dummy:  # zero bias everywhere for row-regular codes: skip
@@ -295,13 +304,22 @@ def _decode_edge(dc, num_iterations, w_vc, w_chk, llr, scat_ref, gath_ref,
             sl = slice(g * w, (g + 1) * w)
             emag = jnp.where(mag[:, sl] > min1, wmin1, wmin2)
             outs.append(emag * (sign_prod * sgn[:, sl]))
-        return outs
+        return outs, total
 
-    def body(_, carry):
-        outs = [_chunk_iter(cv_ref[r, :], weighted_in[r, :]) for r in rows]
-        for r, out in zip(rows, outs):
+    def body(j, carry):
+        rets = [_chunk_iter(cv_ref[r, :], weighted_in[r, :]) for r in rows]
+        if traj_ref is not None:
+            # slot j = soft output after j updates (valid for j >= 1; slot 0
+            # is the raw channel input, stored by the kernel wrapper)
+            @pl.when(j > 0)
+            def _store():
+                for r, (_, total) in zip(rows, rets):
+                    traj_ref[pl.ds(j, 1), r, :] = (
+                        total - (w_vc - w_marg) * llr[r, :]
+                    )[None]
+        for r, (outs, _) in zip(rows, rets):
             for g in range(ngroups):
-                cv_ref[r, g * w:(g + 1) * w] = out[g]
+                cv_ref[r, g * w:(g + 1) * w] = outs[g]
         return carry
 
     jax.lax.fori_loop(0, num_iterations, body, 0, unroll=False)
@@ -379,6 +397,97 @@ def _decode_final_edge_jit(params, scatter, gather, bias, h, llr,
             (block_frames, n), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((batch, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_frames, edges), jnp.float32)],
+        interpret=interpret,
+    )(weights, jnp.asarray(scatter), jnp.asarray(gather), jnp.asarray(bias),
+      llr.astype(jnp.float32))
+
+
+def _decode_traj_kernel(dc, num_iterations, mode, slab_has_dummy,
+                        weights_ref, scat_ref, gath_ref, bias_ref, llr_ref,
+                        out_ref, cv_ref):
+    llr = llr_ref[:]
+    out_ref[pl.ds(0, 1)] = llr[None]  # slot 0: channel input
+    colsum = _decode_edge(
+        dc, num_iterations, weights_ref[0], weights_ref[1], llr,
+        scat_ref, gath_ref, bias_ref, cv_ref, mode, slab_has_dummy,
+        traj_ref=out_ref, w_marg=weights_ref[2],
+    )
+    out_ref[pl.ds(num_iterations, 1)] = (
+        colsum + weights_ref[2] * llr
+    )[None]
+
+
+def decode_traj_edge(
+    params: dict,
+    h,
+    llr: jnp.ndarray,
+    num_iterations: int,
+    variant: str = "NMS-1",
+    block_frames: int = 256,
+    interpret: bool = False,
+    mode: str = "highest",
+) -> jnp.ndarray:
+    """Per-iteration soft-output TRAJECTORIES (T+1, B, n) from the
+    edge-compact VMEM kernel — the ``nms.decode`` convention at the edge
+    kernel's speed.
+
+    Exists for the two-phase system path: re-deriving captured failures'
+    trajectories with the XLA dense decoder costs ~13 ms / 4096 frames on
+    v5e (the (B, m, n) message tensor round-trips HBM every iteration)
+    and dominated the fused phase-2 program (~36 ms/chunk, r5
+    measurement); this kernel keeps the messages in VMEM and emits only
+    the (T+1, B, n) result.  Default mode "highest" (full-f32 matmuls)
+    because trajectories feed tie-sensitive OSD/stopper decisions —
+    matches the XLA decoder to ~3e-5 after 12 iterations (tpu_smoke);
+    the bit-exactness-bearing parity chains still use ``nms.decode``."""
+    if variant == "NMS-r":
+        raise ValueError("NMS-r uses the XLA path (neural check update)")
+    scatter, gather, bias, slab_has_dummy = edge_layout_stacked(h)
+    h_f32 = np.asarray(h, np.float32)
+    return _decode_traj_edge_jit(
+        params, scatter, gather, bias, h_f32, llr, num_iterations, variant,
+        block_frames, interpret, mode, slab_has_dummy,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_iterations", "variant", "block_frames", "interpret",
+                     "mode", "slab_has_dummy"),
+)
+def _decode_traj_edge_jit(params, scatter, gather, bias, h, llr,
+                          num_iterations, variant, block_frames, interpret,
+                          mode="highest", slab_has_dummy=None):
+    from .nms import _weights
+
+    w_vc, w_chk, w_marg = _weights(params, variant)
+    weights = jnp.stack([w_vc, w_chk, w_marg]).astype(jnp.float32)
+    edges, n = scatter.shape
+    dc = edges // h.shape[0]
+    batch = llr.shape[0]
+    if batch % block_frames:
+        raise ValueError(f"batch {batch} not a multiple of {block_frames}")
+    grid = (batch // block_frames,)
+    kernel = functools.partial(_decode_traj_kernel, dc, num_iterations, mode,
+                               slab_has_dummy)
+    t1 = num_iterations + 1
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # weights (3,)
+            pl.BlockSpec((edges, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, edges), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, edges), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_frames, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (t1, block_frames, n), lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((t1, batch, n), jnp.float32),
         scratch_shapes=[pltpu.VMEM((block_frames, edges), jnp.float32)],
         interpret=interpret,
     )(weights, jnp.asarray(scatter), jnp.asarray(gather), jnp.asarray(bias),
