@@ -263,12 +263,30 @@ def system_two_phase_throughput(code) -> dict | None:
     teps_d, mask_d = jnp.asarray(teps), jnp.asarray(mask)
     acc_d = jnp.asarray(acc, jnp.int32)
 
+    use_edge_traj = (
+        jax.default_backend() == "tpu" and variant not in ("NMS-r",)
+    )
+
     def build_phase2(use_kernel):
         @jax.jit
         def phase2(nms_p, dia_p, llr_cap, labels_cap, fcn_p):
             def chunk(args):
                 llr, labels = args
-                outs = nms_ops.decode(nms_p, h_dec, llr, iters, variant)
+                if use_edge_traj:
+                    # VMEM trajectory kernel: the XLA dense re-decode was
+                    # ~32 of the 39.7 ms phase-2 chunk (r5 measurement);
+                    # "highest" mode matches XLA to ~3e-5 with identical
+                    # end-to-end OSD decisions on 4096 random frames
+                    from short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas import (
+                        decode_traj_edge,
+                    )
+
+                    outs = decode_traj_edge(
+                        nms_p, np.asarray(code.h), llr, iters, variant,
+                        block_frames=256, mode="highest",
+                    )
+                else:
+                    outs = nms_ops.decode(nms_p, h_dec, llr, iters, variant)
                 traj = jnp.transpose(outs, (1, 0, 2))
                 st = nms_ops.frame_stats(traj[:, -1], labels, h_dec)
                 refined = model.refine_fast(dia_p, traj)

@@ -75,6 +75,24 @@ def main() -> int:
         check(f"nms_edge[{mode}] tolerance", tol_ok and hard >= hard_min,
               f"maxdiff={np.abs(ref - got).max():.2e} hard={hard:.5f}")
 
+    # --- trajectory edge kernel: full (T+1, B, n) stack vs XLA decode ---
+    from short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas import (
+        decode_traj_edge,
+    )
+
+    ref_t = np.asarray(nms.decode(params, h, llr512, 12, "NMS-1"))
+    got_t = np.asarray(
+        decode_traj_edge(params, code.h, llr512, 12, "NMS-1", 256,
+                         mode="highest")
+    )
+    hard_t = ((got_t <= 0) == (ref_t <= 0)).mean()
+    check(
+        "nms_traj_edge[highest] tolerance",
+        np.allclose(got_t, ref_t, atol=1e-2, rtol=1e-3) and hard_t >= 0.9999
+        and np.array_equal(got_t[0], np.asarray(llr512)),
+        f"maxdiff={np.abs(ref_t - got_t).max():.2e} hard={hard_t:.5f}",
+    )
+
     # --- GE kernel: bitwise vs XLA on permuted H ---
     hb = np.stack([code.h[:, rng.permutation(code.n)] for _ in range(64)])
     hb = jnp.asarray(hb, jnp.float32)

@@ -609,7 +609,9 @@ def make_dl_osd_step(model, h, k: int, window: int = 5,
 
 def make_dl_osd_step_from_llr(model, code, variant: str, num_iterations: int,
                               window: int = 5, soft_margin: float = 0.9,
-                              bounds: tuple | None = None):
+                              bounds: tuple | None = None,
+                              decoder: str = "auto",
+                              with_iteration_stats: bool = False):
     """Fused phase-2 step consuming RAW failure LLRs: the (T+1)-iteration
     trajectory re-decode, DIA refinement, OSD preparation and the sliding
     walk run as ONE XLA program — the failure hand-off between phases stays
@@ -625,7 +627,16 @@ def make_dl_osd_step_from_llr(model, code, variant: str, num_iterations: int,
     (``nms.frame_stats``'s rule) — rows the capture kernel flagged that the
     re-decode does not confirm carry ``detected=False`` and should be
     excluded from OSD accounting by the caller (the one-sided mismatch
-    accounting documented on ``mc.harness.FailureBatch``)."""
+    accounting documented on ``mc.harness.FailureBatch``).
+
+    ``decoder``: "xla" re-derives trajectories with the bit-exact XLA
+    decoder (the parity anchor, ~32 ms/4096 on v5e — the (B, m, n) message
+    tensor round-trips HBM every iteration); "edge" uses the VMEM
+    trajectory kernel (``nms_edge_pallas.decode_traj_edge``, full-f32
+    "highest" mode, ~3e-5 vs XLA after 12 iterations; measured r5: the
+    full phase-2 chunk drops 39.7 -> 8.4 ms with end-to-end OSD decisions
+    identical on 4096 random frames); "auto" picks "edge" on TPU when the
+    edge layout fits and the variant is scalar-normalized."""
     from ..ops import nms
 
     decode_h = code.extended().h if variant == "ENMS" else code.h
@@ -635,14 +646,36 @@ def make_dl_osd_step_from_llr(model, code, variant: str, num_iterations: int,
         jnp.asarray(nms.edge_columns(decode_h)) if variant == "NMS-r" else None
     )
     k = code.k
+    decode_h_host = np.asarray(decode_h)
+    if decoder == "auto":
+        from ..ops.nms_edge_pallas import auto_block_frames as edge_auto
+
+        dc = int(decode_h_host.sum(axis=1).max())
+        fits = edge_auto(decode_h_host.shape[0], code.n, dc) >= 8
+        decoder = (
+            "edge"
+            if jax.default_backend() == "tpu" and fits and variant != "NMS-r"
+            else "xla"
+        )
 
     def build(use_kernel):
         @jax.jit
         def step(nms_params, dia_params, llr, labels, teps, mask, acc,
                  fcn_params):
-            outs = nms.decode(
-                nms_params, h_dec, llr, num_iterations, variant, edge_cols
-            )
+            block = 256
+            while block >= 8 and llr.shape[0] % block:
+                block //= 2
+            if decoder == "edge" and block >= 8:
+                from ..ops.nms_edge_pallas import decode_traj_edge
+
+                outs = decode_traj_edge(
+                    nms_params, decode_h_host, llr, num_iterations, variant,
+                    block_frames=block, mode="highest",
+                )
+            else:
+                outs = nms.decode(
+                    nms_params, h_dec, llr, num_iterations, variant, edge_cols
+                )
             traj = jnp.transpose(outs, (1, 0, 2))  # (B, T+1, n)
             st = nms.frame_stats(traj[:, -1], labels, h_dec)
             refined = model.refine_fast(dia_params, traj)
@@ -652,7 +685,24 @@ def make_dl_osd_step_from_llr(model, code, variant: str, num_iterations: int,
                 window=window, soft_margin=soft_margin, bounds=bounds,
                 use_kernel=use_kernel,
             )
-            return out, refined, st["detected_failure"]
+            if not with_iteration_stats:
+                return out, refined, st["detected_failure"]
+            # per-row, per-slot CE/BER (reference 'CE list'/'BER list'
+            # bookkeeping, ms_test.py:251-267 / nn_testing.py:205-210);
+            # the LAST column is the DIA-refined slot.  f32 on device (the
+            # host helper sums in f64; diagnostic-level difference only).
+            stacked = jnp.concatenate([traj, refined[:, None, :]], axis=1)
+            logits = -stacked
+            z = labels.astype(jnp.float32)[:, None, :]
+            ce_rows = jnp.sum(
+                jnp.maximum(logits, 0) - logits * z
+                + jnp.log1p(jnp.exp(-jnp.abs(logits))),
+                axis=2,
+            )  # (B, T+2)
+            ber_rows = jnp.sum(
+                ((stacked <= 0) != (z > 0)).astype(jnp.float32), axis=2
+            )  # (B, T+2) bit-error counts
+            return out, refined, st["detected_failure"], (ce_rows, ber_rows)
 
         return step
 

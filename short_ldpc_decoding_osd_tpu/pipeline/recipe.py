@@ -273,10 +273,27 @@ def stage_eval_sweep(cfg: RecipeConfig, run: RunDir, nms_params, model, dia_para
     teps_j, mask_j = jnp.asarray(teps), jnp.asarray(mask)
     h = jnp.asarray(code.h_osd)  # full-rank basis for the OSD elimination
     fcn = stopper_engine_params(s_params)
-    osd_step = engine.make_dl_osd_step(
-        model, h, code.k, window=cfg.window, soft_margin=cfg.soft_margin,
-        bounds=bounds,
+    # fused llr -> (re-decode, DIA, walk, iteration stats) path: the failure
+    # hand-off stays raw (N, n) LLR rows and the trajectory re-decode runs
+    # in the VMEM edge kernel — phase-2 chunk 39.7 -> 8.4 ms and ~26x less
+    # tunnel transfer per point (r5).  Falls back to the trajectory-capture
+    # path off-TPU / for NMS-r (neural check update has no edge kernel).
+    import jax
+
+    fused_phase2 = (
+        jax.default_backend() == "tpu" and cfg.variant != "NMS-r"
     )
+    if fused_phase2:
+        osd_step_llr = engine.make_dl_osd_step_from_llr(
+            model, code, cfg.variant, cfg.num_iterations,
+            window=cfg.window, soft_margin=cfg.soft_margin, bounds=bounds,
+            with_iteration_stats=True,
+        )
+    else:
+        osd_step = engine.make_dl_osd_step(
+            model, h, code.k, window=cfg.window, soft_margin=cfg.soft_margin,
+            bounds=bounds,
+        )
     from ..mc.harness import iteration_ber_list, iteration_ce_list
     from ..utils.profiling import JsonlLogger
 
@@ -301,6 +318,7 @@ def stage_eval_sweep(cfg: RecipeConfig, run: RunDir, nms_params, model, dia_para
             # old 4x multiplier cost ~100 MB of tunnel transfer per point at
             # publication budgets for rows the walk never consumes
             capture_limit=max(int(cfg.osd_failure_budget * 1.25), 2000),
+            capture_trajectories=not fused_phase2,
         )
         nms_time = time.time() - t0
         # stage 6: OSD on (up to budget) captured failures
@@ -309,7 +327,57 @@ def stage_eval_sweep(cfg: RecipeConfig, run: RunDir, nms_params, model, dia_para
         osd_stats = {"success": 0, "fail": 0, "complexity": 0, "windows": 0}
         ce_list = []
         ber_list = []
-        if n_osd:
+        unconfirmed = 0
+        if n_osd and fused_phase2:
+            # fused path: raw LLR rows in, everything (re-decode, DIA, walk,
+            # CE/BER bookkeeping) on device; rows the bit-exact in-step
+            # re-decode does not confirm as detected failures are excluded
+            # (same accounting as FailureBatch.mismatches, but two-sided
+            # within the walked set: detected flags come from the re-decode)
+            osd_b = 4096 if n_osd > 4096 else n_osd
+            llr_rows = fb.trajectories[:n_osd, 0]
+            lab_rows = fb.labels[:n_osd]
+            acc_j = jnp.asarray(acc, jnp.int32)
+            cols = {k_: [] for k_ in
+                    ("succ", "strict", "cplx", "win", "det", "ce", "ber")}
+            for i0 in range(0, n_osd, osd_b):
+                hi_i = min(i0 + osd_b, n_osd)
+                live = hi_i - i0
+                l_c = llr_rows[i0:hi_i]
+                b_c = lab_rows[i0:hi_i]
+                if live < osd_b:
+                    reps = osd_b - live
+                    l_c = np.concatenate([l_c, np.tile(l_c[:1], (reps, 1))])
+                    b_c = np.concatenate([b_c, np.tile(b_c[:1], (reps, 1))])
+                out, _refined, det, (ce_rows, ber_rows) = osd_step_llr(
+                    nms_params, dia_params, jnp.asarray(l_c, jnp.float32),
+                    jnp.asarray(b_c, jnp.int32), teps_j, mask_j, acc_j, fcn,
+                )
+                cols["succ"].append(np.asarray(out["success"])[:live])
+                cols["strict"].append(np.asarray(out["strict_success"])[:live])
+                cols["cplx"].append(np.asarray(out["complexity"])[:live])
+                cols["win"].append(np.asarray(out["window_num"])[:live])
+                cols["det"].append(np.asarray(det)[:live])
+                cols["ce"].append(np.asarray(ce_rows)[:live])
+                cols["ber"].append(np.asarray(ber_rows)[:live])
+            valid = np.concatenate(cols["det"])
+            unconfirmed = int((~valid).sum())
+            succ = np.concatenate(cols["succ"])[valid]
+            nv = max(int(valid.sum()), 1)
+            osd_stats = {
+                "success": int(succ.sum()),
+                "fail": int((~succ).sum()),
+                "strict_success": int(np.concatenate(cols["strict"])[valid].sum()),
+                "complexity": float(np.concatenate(cols["cplx"])[valid].mean())
+                if valid.any() else 0.0,
+                "windows": float(np.concatenate(cols["win"])[valid].mean())
+                if valid.any() else 0.0,
+            }
+            ce_all = np.concatenate(cols["ce"])[valid]  # (nv, T+2)
+            ber_all = np.concatenate(cols["ber"])[valid]
+            ce_list = [float(x) for x in ce_all.sum(axis=0)]
+            ber_list = [float(x) / (nv * code.n) for x in ber_all.sum(axis=0)]
+        elif n_osd:
             # publication budgets (>=2000 failures/point, r4 VERDICT item 3)
             # walk in FIXED 4096-frame chunks so one compile serves every
             # point; small sets keep the exact-size single call (cheap on
@@ -399,6 +467,9 @@ def stage_eval_sweep(cfg: RecipeConfig, run: RunDir, nms_params, model, dia_para
             "fer_osd_ci": [osd_lo, osd_hi],
             "fer_total": fer_total,
             "fer_total_ci": [float(tot_ci[0]), float(tot_ci[1])],
+            # rows the in-step re-decode did not confirm as detected
+            # failures (fused path only; excluded from every OSD stat)
+            "osd_unconfirmed": unconfirmed,
             "nms_time_s": nms_time,
             "osd_time_s": osd_time,
             "nms_frames_per_s": stats.frames / max(nms_time, 1e-9),

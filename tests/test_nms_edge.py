@@ -290,3 +290,55 @@ def test_edge_layout_rejects_degree_one_checks():
 
     with pytest.raises(ValueError, match="check degree >= 2"):
         edge_layout(np.eye(4, 16, dtype=np.uint8))  # every row degree 1
+
+
+def test_traj_edge_matches_xla_decode(code):
+    """decode_traj_edge reproduces the full (T+1, B, n) nms.decode
+    trajectory convention (slot 0 = channel input) at f32 tolerance, for
+    every scalar variant and both row-chunk counts."""
+    from short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas import (
+        decode_traj_edge,
+    )
+
+    llr = _llr(code, 64, seed=5)
+    for variant in ("NMS-1", "NMS-2", "NMS-3"):
+        params = nms.init_params(variant)
+        ref = np.asarray(
+            nms.decode(params, jnp.asarray(code.h, jnp.float32), llr, 8,
+                       variant)
+        )
+        got = np.asarray(
+            decode_traj_edge(params, code.h, llr, 8, variant,
+                             block_frames=32, interpret=True, mode="highest")
+        )
+        assert got.shape == ref.shape == (9, 64, code.n)
+        np.testing.assert_array_equal(got[0], np.asarray(llr))  # channel slot
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() / scale < 1e-4, variant
+        # hard decisions identical on every iteration slot
+        np.testing.assert_array_equal(got <= 0, ref <= 0)
+
+
+def test_traj_edge_irregular_code():
+    """Trajectory kernel on an irregular-row code (dummy edges exercise the
+    bias path inside the shared iteration body)."""
+    from short_ldpc_decoding_osd_tpu.codes import make_regular_ldpc
+    from short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas import (
+        decode_traj_edge,
+    )
+
+    rng = np.random.default_rng(3)
+    h = (rng.random((24, 48)) < 0.2).astype(np.uint8)
+    h[np.arange(24), rng.integers(0, 48, 24)] = 1  # no empty rows
+    code2 = Code.from_parity(h, name="irr_traj")
+    llr = jnp.asarray(rng.normal(1.0, 0.9, (16, 48)), jnp.float32)
+    params = nms.init_params("NMS-1")
+    ref = np.asarray(
+        nms.decode(params, jnp.asarray(code2.h, jnp.float32), llr, 6, "NMS-1")
+    )
+    got = np.asarray(
+        decode_traj_edge(params, code2.h, llr, 6, "NMS-1",
+                         block_frames=8, interpret=True, mode="highest")
+    )
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 1e-4
