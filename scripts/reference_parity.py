@@ -970,8 +970,12 @@ def run_combine_base(args):
         fw_s2 = blob["pb_improvements"].astype(np.int64)
         ref_s2 = np.asarray(rs["suc2"], np.int64)
         live = ~capped
+        # success on a capped frame is censoring, not divergence: the eager
+        # reference loop stopped at the pop cap while the batched search ran
+        # to its true stop (observed: frame with fw cost 17,723 vs cap 4096)
         dis = {
-            "success": np.nonzero(fw_s != ref_s)[0],
+            "success": np.nonzero(live & (fw_s != ref_s))[0],
+            "success_censored": np.nonzero(capped & (fw_s != ref_s))[0],
             "cost": np.nonzero(live & (fw_c != ref_c))[0],
             "stop_kind": np.nonzero(live & (fw_stop != ref_stop_v))[0],
             "maintained": np.nonzero(live & (fw_m != ref_m))[0],
