@@ -249,7 +249,13 @@ def system_two_phase_throughput(code) -> dict | None:
     from short_ldpc_decoding_osd_tpu.ops import nms as nms_ops
 
     cap_b = 262144
-    cap = 32768  # ~12.5% of cap_b; E[failures] ~10.5% at 3.0 dB
+    # capture capacity: E[failures] = 27.3k at 3.0 dB (FER 0.1042) -> 17%
+    # walked-row padding.  A tighter 28672 (7-chunk) cap was probed r5:
+    # 2.30-2.33M vs this config's recorded 2.52-2.56M cw/s — but a back-to-
+    # back re-run of THIS config read 2.21M in the same session (tunnel
+    # drift exceeds the 12% theoretical gain), so the comparison is
+    # noise-dominated; keeping the configuration of the recorded best
+    cap = 32768
     osd_b = 4096
     spec = ChannelSpec.awgn(SYSTEM_SNR, code.rate)
     step = build_nms_mc_step(

@@ -272,3 +272,91 @@ def test_vectorized_walk_matches_scan_oracle():
                 np.asarray(got[key]), np.asarray(want[key]),
                 err_msg=f"{key} trial {trial}",
             )
+
+
+def test_dl_osd_step_from_llr_equals_trajectory_step():
+    """The r5 production path (raw-LLR fused step, engine.
+    make_dl_osd_step_from_llr) must reproduce the trajectory-input step
+    bitwise when its in-step re-decode is the same XLA decoder, and its
+    on-device CE/BER bookkeeping must match the host helpers."""
+    import jax.numpy as jnp
+
+    from short_ldpc_decoding_osd_tpu.codes import get_code
+    from short_ldpc_decoding_osd_tpu.mc import run_nms_mc
+    from short_ldpc_decoding_osd_tpu.mc.harness import (
+        detected_failure_mask,
+        iteration_ber_list,
+        iteration_ce_list,
+        trajectories_for_llrs,
+    )
+    from short_ldpc_decoding_osd_tpu.models import (
+        make_dia,
+        stopper_engine_params,
+    )
+    from short_ldpc_decoding_osd_tpu.ops import nms as nms_ops
+    from short_ldpc_decoding_osd_tpu.osd import engine as eng
+    from short_ldpc_decoding_osd_tpu.osd import segments
+
+    code = get_code("ccsds_128_64")
+    iters = 6
+    params = nms_ops.init_params("NMS-1")
+    _, fb = run_nms_mc(
+        code, params, "NMS-1", iters, 2.0, batch=512, error_budget=10 ** 9,
+        max_frames=1024, capture_failures=True, capture_trajectories=False,
+    )
+    assert fb is not None and not fb.confirmed
+    n_f = min(len(fb.trajectories), 48)
+    llr = fb.trajectories[:n_f, 0]
+    labels = fb.labels[:n_f]
+    traj = trajectories_for_llrs(code, params, "NMS-1", iters, llr)
+
+    model = make_dia("model_rnn1", code.n, iters + 1)
+    import jax
+
+    dia_params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((2, iters + 1, code.n)))
+    path = [[0, 0, 0, 0, 0, 0], [1, 0, 0, 0, 0, 0], [0, 1, 0, 0, 0, 0],
+            [1, 1, 0, 0, 0, 0], [0, 0, 1, 0, 0, 0], [0, 0, 0, 1, 0, 0],
+            [1, 0, 1, 0, 0, 0]]
+    blocks, acc = segments.build_tep_blocks(path, code.k, 6)
+    teps, mask, bounds = segments.pack_tep_chunks(blocks)
+    s_params = {
+        "w1": np.asarray(
+            np.random.default_rng(1).normal(0, 0.1, (6, 6)), np.float32),
+        "w2": np.asarray(
+            np.random.default_rng(2).normal(0, 0.1, (6, 2)), np.float32),
+    }
+    fcn = stopper_engine_params(s_params) if not isinstance(
+        s_params, dict) else s_params
+
+    step_traj = eng.make_dl_osd_step(
+        model, code.h_osd, code.k, bounds=bounds)
+    step_llr = eng.make_dl_osd_step_from_llr(
+        model, code, "NMS-1", iters, bounds=bounds, decoder="xla",
+        with_iteration_stats=True)
+    args_tail = (jnp.asarray(teps), jnp.asarray(mask),
+                 jnp.asarray(acc, jnp.int32), fcn)
+    out_a, refined_a = step_traj(
+        dia_params, jnp.asarray(traj, jnp.float32),
+        jnp.asarray(labels, jnp.int32), *args_tail)
+    out_b, refined_b, det, (ce_rows, ber_rows) = step_llr(
+        params, dia_params, jnp.asarray(llr, jnp.float32),
+        jnp.asarray(labels, jnp.int32), *args_tail)
+
+    np.testing.assert_array_equal(np.asarray(out_a["success"]),
+                                  np.asarray(out_b["success"]))
+    np.testing.assert_array_equal(np.asarray(out_a["complexity"]),
+                                  np.asarray(out_b["complexity"]))
+    np.testing.assert_array_equal(np.asarray(out_a["window_num"]),
+                                  np.asarray(out_b["window_num"]))
+    np.testing.assert_allclose(np.asarray(refined_a), np.asarray(refined_b),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(det), detected_failure_mask(code, "NMS-1", traj))
+    # on-device CE/BER rows vs the host helpers (f32 vs f64 tolerance)
+    ce_host = iteration_ce_list(traj, labels)
+    ber_host = iteration_ber_list(traj, labels)
+    ce_dev = np.asarray(ce_rows).sum(axis=0)
+    ber_dev = np.asarray(ber_rows).sum(axis=0) / (n_f * code.n)
+    np.testing.assert_allclose(ce_dev[:-1], ce_host, rtol=1e-4)
+    np.testing.assert_allclose(ber_dev[:-1], ber_host, rtol=1e-6, atol=1e-9)
