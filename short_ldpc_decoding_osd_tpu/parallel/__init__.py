@@ -2,6 +2,7 @@ from .mesh import init_multihost, make_mesh
 from .data_parallel import (
     device_seeds,
     sharded_dl_osd_step,
+    sharded_dl_osd_step_from_llr,
     sharded_fused_mc_step,
     sharded_nms_mc_step,
     sharded_nms_train_step,
@@ -11,6 +12,7 @@ from .data_parallel import (
 __all__ = [
     "device_seeds",
     "sharded_dl_osd_step",
+    "sharded_dl_osd_step_from_llr",
     "init_multihost",
     "make_mesh",
     "sharded_fused_mc_step",

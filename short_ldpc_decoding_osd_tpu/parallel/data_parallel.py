@@ -212,6 +212,76 @@ def sharded_fused_mc_step(
     )
 
 
+def sharded_dl_osd_step_from_llr(
+    model,
+    code: Code,
+    variant: str,
+    num_iterations: int,
+    mesh: Mesh,
+    window: int = 5,
+    soft_margin: float = 0.9,
+    bounds: tuple | None = None,
+    use_kernel: bool | None = None,
+):
+    """Mesh-parallel RAW-LLR phase-2 step — the r5 system path's fused
+    re-decode -> DIA -> walk with the failure batch sharded over the mesh
+    and only psum'd counters replicated out.
+
+    The in-step trajectory re-decode is the XLA decoder (batch-partitioned
+    by the sharding constraint like every other stage; the VMEM trajectory
+    kernel variant of the single-device path would need a shard_map
+    wrapper — the counters here are correctness-bearing, so the bit-exact
+    decoder is the right default on a mesh anyway).  Same no-demotion
+    policy as ``sharded_dl_osd_step``.
+
+    Returns ``step(nms_params, dia_params, llr, labels, teps, mask, acc,
+    fcn_params)`` -> (5,) replicated counters
+    ``[rows, detected, success_detected, total_teps, total_windows]``."""
+    from ..ops import nms as nms_ops
+    from ..osd import engine
+
+    axis = mesh.axis_names[0]
+    batch_sharding = _sharding(mesh, axis)
+    replicated = _sharding(mesh)
+    decode_h = code.extended().h if variant == "ENMS" else code.h
+    h_dec = jnp.asarray(decode_h, jnp.float32)
+    h_osd = jnp.asarray(code.h_osd)
+    edge_cols = (
+        jnp.asarray(nms_ops.edge_columns(decode_h))
+        if variant == "NMS-r" else None
+    )
+    k = code.k
+
+    @functools.partial(jax.jit, out_shardings=replicated)
+    def step(nms_params, dia_params, llr, labels, teps, mask, acc,
+             fcn_params):
+        llr = jax.lax.with_sharding_constraint(llr, batch_sharding)
+        labels = jax.lax.with_sharding_constraint(labels, batch_sharding)
+        outs = nms_ops.decode(
+            nms_params, h_dec, llr, num_iterations, variant, edge_cols
+        )
+        traj = jnp.transpose(outs, (1, 0, 2))
+        st = nms_ops.frame_stats(traj[:, -1], labels, h_dec)
+        det = st["detected_failure"]
+        refined = model.refine_fast(dia_params, traj)
+        prep = engine.prepare(refined, llr, labels, h_osd, k)
+        out = engine.sliding_osd(
+            prep, teps, mask, acc, fcn_params, k,
+            window=window, soft_margin=soft_margin, bounds=bounds,
+            use_kernel=use_kernel,
+        )
+        cdt = count_dtype()
+        return jnp.stack([
+            jnp.asarray(llr.shape[0], cdt),
+            jnp.sum(det.astype(cdt)),
+            jnp.sum((out["success"] & det).astype(cdt)),
+            jnp.sum(jnp.where(det, out["complexity"], 0).astype(cdt)),
+            jnp.sum(jnp.where(det, out["window_num"], 0).astype(cdt)),
+        ])
+
+    return step
+
+
 def sharded_nms_train_step(
     code: Code,
     variant: str,

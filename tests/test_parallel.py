@@ -384,3 +384,64 @@ def test_sharded_dl_osd_step_matches_single_device(code):
             step(dia_params, traj, labs, teps_j, mask_j, acc_j, fcn)
         )
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_from_llr_step_matches_single_device(code):
+    """The mesh RAW-LLR phase-2 step (r5 system path) psum's counters equal
+    to the single-device fused from-llr step on the same frames — the
+    re-decode, detected-flag accounting and walk all shard on the frame
+    axis."""
+    import jax.numpy as jnp
+
+    from short_ldpc_decoding_osd_tpu.models import make_dia
+    from short_ldpc_decoding_osd_tpu.ops import nms as nms_ops
+    from short_ldpc_decoding_osd_tpu.osd import engine, segments
+    from short_ldpc_decoding_osd_tpu.parallel import (
+        make_mesh,
+        sharded_dl_osd_step_from_llr,
+    )
+
+    rng = np.random.default_rng(9)
+    b, t = 16, 6
+    model = make_dia("model_cnn", code.n, t + 1)
+    dia_params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((code.n, t + 1, 1))
+    )
+    nms_params = nms_ops.init_params("NMS-1")
+    msgs = rng.integers(0, 2, (b, code.k))
+    words = (msgs @ code.g % 2).astype(np.int32)
+    noise = rng.normal(0.6, 1.0, (b, code.n))  # noisy enough to fail often
+    llr = jnp.asarray(np.where(words == 0, noise, -noise), jnp.float32)
+    labs = jnp.asarray(words)
+
+    path = [[0, 0, 0, 0, 0, 0], [1, 0, 0, 0, 0, 0], [0, 1, 0, 0, 0, 0],
+            [1, 1, 0, 0, 0, 0], [0, 0, 1, 0, 0, 0]]
+    blocks, acc = segments.build_tep_blocks(path, code.k)
+    teps, mask, bounds = segments.pack_tep_chunks(blocks, chunk=64)
+    teps_j, mask_j = jnp.asarray(teps), jnp.asarray(mask)
+    acc_j = jnp.asarray(acc, jnp.int32)
+    fcn = {
+        "w1": jnp.asarray(rng.normal(0, 0.3, (6, 6)), jnp.float32),
+        "w2": jnp.asarray(rng.normal(0, 0.3, (6, 2)), jnp.float32),
+    }
+
+    single = engine.make_dl_osd_step_from_llr(
+        model, code, "NMS-1", t, bounds=bounds, decoder="xla")
+    out, _, det = single(nms_params, dia_params, llr, labs,
+                         teps_j, mask_j, acc_j, fcn)
+    det = np.asarray(det)
+    want = np.array([
+        b,
+        int(det.sum()),
+        int((np.asarray(out["success"]) & det).sum()),
+        int(np.asarray(out["complexity"])[det].sum()),
+        int(np.asarray(out["window_num"])[det].sum()),
+    ])
+
+    mesh = make_mesh(8)
+    step = sharded_dl_osd_step_from_llr(
+        model, code, "NMS-1", t, mesh, bounds=bounds)
+    with mesh:
+        got = np.asarray(step(nms_params, dia_params, llr, labs,
+                              teps_j, mask_j, acc_j, fcn))
+    np.testing.assert_array_equal(got, want)
