@@ -23,6 +23,15 @@ def full_tep_matrix(k: int, order_limit: int) -> tuple[np.ndarray, np.ndarray]:
     Row order inside each weight class follows the reference's
     sum-of-indices-descending sort (``convention_osd.py:13-26``) — the order
     only matters for phase attribution, which uses the boundaries."""
+    import math
+
+    n_teps = sum(math.comb(k, w) for w in range(order_limit + 1))
+    if n_teps > 4_000_000:
+        raise ValueError(
+            f"conventional-OSD TEP set C({k},<= {order_limit}) = {n_teps:,} "
+            "rows is impractical for large k; lower order_limit (see "
+            "pb_osd.weight_limited_teps for the rationale)"
+        )
     rows = [np.zeros(k, dtype=np.int8)]
     boundaries = [1]
     for w in range(1, order_limit + 1):

@@ -45,6 +45,13 @@ def sequential_tep_matrix(k: int, order_limit: int) -> tuple[np.ndarray, np.ndar
     Order-j sequence: for each combination (ascending lexicographic) of j
     positions, set those bits then reverse the vector
     (``generate_sequential_teps``)."""
+    n_teps = sum(math.comb(k, w) for w in range(1, order_limit + 1))
+    if n_teps > 4_000_000:
+        raise ValueError(
+            f"FS baseline TEP set C({k},<= {order_limit}) = {n_teps:,} rows "
+            "is impractical for large k; lower order_limit (see pb_osd."
+            "weight_limited_teps for the rationale)"
+        )
     rows = []
     starts = [0]
     for w in range(1, order_limit + 1):

@@ -33,6 +33,17 @@ from . import common
 def weight_limited_teps(k: int, order_limit: int) -> np.ndarray:
     """All nonzero TEPs of weight <= order_limit (static, visiting order is
     decided per frame by the reliability sort)."""
+    n_teps = sum(math.comb(k, w) for w in range(1, order_limit + 1))
+    if n_teps > 4_000_000:
+        # C(880,3) ~ 113M rows x k int8 would be ~100 GB; the full-TEP
+        # baselines are defined for SHORT codes (the reference runs them on
+        # (128,64) only) — fail with guidance instead of OOMing the host
+        raise ValueError(
+            f"PB/conventional baseline TEP set C({k},<= {order_limit}) = "
+            f"{n_teps:,} rows is impractical; lower order_limit (the "
+            "learned DL-OSD path with per-code operating points is the "
+            "scalable decoder for large k)"
+        )
     rows = []
     for w in range(1, order_limit + 1):
         for combo in itertools.combinations(range(k), w):

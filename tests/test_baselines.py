@@ -189,3 +189,12 @@ def test_fs_literal_vs_intended_tau_e_scoring(small_code):
     diff = np.asarray(out_i["success"]) != np.asarray(out_l["success"])
     tau_e_frames = np.asarray(out_i["tau_e_stop"])
     assert not np.any(diff & ~tau_e_frames)
+
+
+def test_large_k_tep_sets_rejected_with_guidance():
+    """C(880,3) ~ 113M TEP rows would OOM the host; the full-enumeration
+    baselines fail fast with a pointer to the learned path instead."""
+    with pytest.raises(ValueError, match="impractical"):
+        pb_osd.weight_limited_teps(880, 3)
+    with pytest.raises(ValueError, match="impractical"):
+        fs_osd.sequential_tep_matrix(880, 3)
