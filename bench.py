@@ -1,8 +1,11 @@
 #!/usr/bin/env python
-"""Headline benchmark: NMS-decoded codewords/s on one TPU chip.
+"""Headline benchmark: NMS-decoded codewords/s on one TPU chip, PLUS the
+end-to-end two-phase SYSTEM throughput (sample -> NMS -> capture -> DIA ->
+OSD, all on device) and a dual (one-hot / algorithmic) MFU attribution.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "codewords/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "codewords/s", "vs_baseline": N,
+   ..., "system_codewords_per_s": N, "system_osd_failures_per_s": N, ...}
 
 The ``vs_baseline`` divisor is the ACTUAL reference decoder's throughput —
 the eager-TF2 ``Ldpc_128_testing/ms_test.py`` Decoder_Layer timed on this
