@@ -259,7 +259,6 @@ def system_two_phase_throughput(code) -> dict | None:
     # drift exceeds the 12% theoretical gain), so the comparison is
     # noise-dominated; keeping the configuration of the recorded best
     cap = 32768
-    osd_b = 4096
     spec = ChannelSpec.awgn(SYSTEM_SNR, code.rate)
     step = build_nms_mc_step(
         code, variant, iters, spec, cap_b, capture_capacity=cap
@@ -277,44 +276,39 @@ def system_two_phase_throughput(code) -> dict | None:
     )
 
     def build_phase2(use_kernel):
+        # ONE full-capacity program, not a 4096-chunk map: the sort/pack/
+        # GE stages are per-iteration LATENCY-bound, so they amortize
+        # sublinearly in B — measured (same session): 311k failures/s at
+        # B=4096 chunks vs 445k at one B=32768 call (+43%)
         @jax.jit
-        def phase2(nms_p, dia_p, llr_cap, labels_cap, fcn_p):
-            def chunk(args):
-                llr, labels = args
-                if use_edge_traj:
-                    # VMEM trajectory kernel: the XLA dense re-decode was
-                    # ~32 of the 39.7 ms phase-2 chunk (r5 measurement);
-                    # "highest" mode matches XLA to ~3e-5 with identical
-                    # end-to-end OSD decisions on 4096 random frames
-                    from short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas import (
-                        decode_traj_edge,
-                    )
-
-                    outs = decode_traj_edge(
-                        nms_p, np.asarray(code.h), llr, iters, variant,
-                        block_frames=256, mode="highest",
-                    )
-                else:
-                    outs = nms_ops.decode(nms_p, h_dec, llr, iters, variant)
-                traj = jnp.transpose(outs, (1, 0, 2))
-                st = nms_ops.frame_stats(traj[:, -1], labels, h_dec)
-                refined = model.refine_fast(dia_p, traj)
-                prep = engine.prepare(
-                    refined, llr, labels.astype(jnp.int32), h_osd, code.k
+        def phase2(nms_p, dia_p, llr, labels, fcn_p):
+            if use_edge_traj:
+                # VMEM trajectory kernel: the XLA dense re-decode was
+                # ~32 of the 39.7 ms phase-2 chunk (r5 measurement);
+                # "highest" mode matches XLA to ~3e-5 with identical
+                # end-to-end OSD decisions on 4096 random frames
+                from short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas import (
+                    decode_traj_edge,
                 )
-                out = engine.sliding_osd(
-                    prep, teps_d, mask_d, acc_d, fcn_p, code.k,
-                    window=window, soft_margin=soft_margin, bounds=bounds,
-                    use_kernel=use_kernel,
-                )
-                return out["success"], st["detected_failure"]
 
-            s, d = jax.lax.map(
-                chunk,
-                (llr_cap.reshape(-1, osd_b, code.n),
-                 labels_cap.reshape(-1, osd_b, code.n)),
+                outs = decode_traj_edge(
+                    nms_p, np.asarray(code.h), llr, iters, variant,
+                    block_frames=256, mode="highest",
+                )
+            else:
+                outs = nms_ops.decode(nms_p, h_dec, llr, iters, variant)
+            traj = jnp.transpose(outs, (1, 0, 2))
+            st = nms_ops.frame_stats(traj[:, -1], labels, h_dec)
+            refined = model.refine_fast(dia_p, traj)
+            prep = engine.prepare(
+                refined, llr, labels.astype(jnp.int32), h_osd, code.k
             )
-            return s.reshape(-1), d.reshape(-1)
+            out = engine.sliding_osd(
+                prep, teps_d, mask_d, acc_d, fcn_p, code.k,
+                window=window, soft_margin=soft_margin, bounds=bounds,
+                use_kernel=use_kernel,
+            )
+            return out["success"], st["detected_failure"]
 
         return phase2
 
