@@ -2,8 +2,8 @@
 """Real-TPU smoke test for all Pallas kernels.
 
 The pytest suite runs on a virtual CPU mesh (interpret-mode Pallas), so a
-kernel can pass the suite yet fail to *lower* on actual hardware (e.g. the
-f32 tpu.iota regression fixed in ops/gf2_pallas.py, or the default-precision
+kernel can pass the suite yet fail to *lower* on actual hardware (e.g. an
+f32 tpu.iota lowering regression caught here in r2, or the default-precision
 matmul bf16 truncation in ops/nms_edge_pallas.py).  Run this after touching
 any kernel:
 
@@ -38,7 +38,7 @@ def main() -> int:
 
     from short_ldpc_decoding_osd_tpu.codes import get_code
     from short_ldpc_decoding_osd_tpu.ops import gf2ops, nms
-    from short_ldpc_decoding_osd_tpu.ops.gf2_pallas import batched_row_reduce_pallas
+    from short_ldpc_decoding_osd_tpu.ops.gf2_bitpack import batched_row_reduce_bitpack
     from short_ldpc_decoding_osd_tpu.ops.mc_pallas import fused_counters
     from short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas import fused_counters_edge
     from short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas import decode_final_edge
@@ -93,13 +93,13 @@ def main() -> int:
         f"maxdiff={np.abs(ref_t - got_t).max():.2e} hard={hard_t:.5f}",
     )
 
-    # --- GE kernel: bitwise vs XLA on permuted H ---
+    # --- GE kernel (production bit-packed path): bitwise vs XLA on permuted H ---
     hb = np.stack([code.h[:, rng.permutation(code.n)] for _ in range(64)])
-    hb = jnp.asarray(hb, jnp.float32)
-    mat_p, ord_p = batched_row_reduce_pallas(hb, block_frames=16)
-    mat_x, ord_x = gf2ops.batched_row_reduce(hb.astype(jnp.int8))
+    hb = jnp.asarray(hb, jnp.int8)
+    mat_p, ord_p = batched_row_reduce_bitpack(hb)
+    mat_x, ord_x = gf2ops.batched_row_reduce(hb)
     check(
-        "gf2_pallas bitwise",
+        "gf2_bitpack bitwise",
         bool(jnp.all(mat_p.astype(jnp.int32) == mat_x.astype(jnp.int32)))
         and bool(jnp.all(ord_p.astype(jnp.int32) == ord_x.astype(jnp.int32))),
     )

@@ -1,6 +1,7 @@
 """Bit-packed batched GF(2) elimination: frames as lanes, columns as bits.
 
-The f32 kernels (``gf2ops.batched_row_reduce`` / ``gf2_pallas``) spend one
+The f32 kernels (``gf2ops.batched_row_reduce``, and the retired
+``gf2_pallas`` VMEM variant) spend one
 vector lane per matrix *entry*: every pivot step touches ``B*m*n`` f32
 elements.  Here the work tensor is ``(m, n/32, B)`` int32 — column ``j`` of
 frame ``b`` lives in bit ``j%32`` of word ``[i, j//32, b]`` — so
@@ -18,7 +19,7 @@ frame ``b`` lives in bit ``j%32`` of word ``[i, j//32, b]`` — so
 
 The pivot/column-swap semantics are exactly those of
 ``gf2ops.batched_row_reduce`` (bit-exact on full-row-rank inputs; degenerate
-no-pivot/no-swap steps are a no-op, matching ``gf2_pallas``).  Pure XLA —
+no-pivot/no-swap steps are a no-op).  Pure XLA —
 the packed tensor for 4096 CCSDS frames is 4 MB, so the per-step HBM
 round-trip costs microseconds and no Pallas kernel is needed.
 

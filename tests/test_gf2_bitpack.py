@@ -71,8 +71,8 @@ def test_bitpack_ge_word_boundary_swaps():
 
 def test_bitpack_ge_nonmultiple_of_32_columns():
     """n=45: the last packed word is partial; padding bits must stay inert.
-    Frames are filtered to full GF(2) row rank (degenerate steps are only
-    semantics-matched against gf2_pallas, not the XLA kernel)."""
+    Frames are filtered to full GF(2) row rank (degenerate steps are a
+    documented no-op, not bit-matched against the XLA kernel)."""
     from short_ldpc_decoding_osd_tpu.codes import gf2
 
     rng = np.random.default_rng(4)
