@@ -251,14 +251,14 @@ def system_two_phase_throughput(code) -> dict | None:
     from short_ldpc_decoding_osd_tpu.mc.harness import build_nms_mc_step
     from short_ldpc_decoding_osd_tpu.ops import nms as nms_ops
 
-    cap_b = 262144
+    cap_b = int(os.environ.get("BENCH_SYSTEM_CAP_B", 262144))
     # capture capacity: E[failures] = 27.3k at 3.0 dB (FER 0.1042) -> 17%
     # walked-row padding.  A tighter 28672 (7-chunk) cap was probed r5:
     # 2.30-2.33M vs this config's recorded 2.52-2.56M cw/s — but a back-to-
     # back re-run of THIS config read 2.21M in the same session (tunnel
     # drift exceeds the 12% theoretical gain), so the comparison is
     # noise-dominated; keeping the configuration of the recorded best
-    cap = 32768
+    cap = int(os.environ.get("BENCH_SYSTEM_CAP", 32768))
     spec = ChannelSpec.awgn(SYSTEM_SNR, code.rate)
     step = build_nms_mc_step(
         code, variant, iters, spec, cap_b, capture_capacity=cap
@@ -271,9 +271,22 @@ def system_two_phase_throughput(code) -> dict | None:
     teps_d, mask_d = jnp.asarray(teps), jnp.asarray(mask)
     acc_d = jnp.asarray(acc, jnp.int32)
 
-    use_edge_traj = (
-        jax.default_backend() == "tpu" and variant not in ("NMS-r",)
+    # mirror engine.make_dl_osd_step_from_llr's "auto" gating: the edge
+    # trajectory kernel needs the incidence constants to fit VMEM (large
+    # codes like (1056,880) ride the dense XLA rung instead)
+    from short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas import (
+        auto_block_frames as _edge_auto,
     )
+
+    _dc = int(np.asarray(decode_h).sum(axis=1).max())
+    use_edge_traj = (
+        jax.default_backend() == "tpu"
+        and variant not in ("NMS-r",)
+        and _edge_auto(decode_h.shape[0], code.n, _dc) >= 8
+    )
+    traj_block = 256
+    while traj_block >= 8 and cap % traj_block:
+        traj_block //= 2
 
     def build_phase2(use_kernel):
         # ONE full-capacity program, not a 4096-chunk map: the sort/pack/
@@ -293,7 +306,19 @@ def system_two_phase_throughput(code) -> dict | None:
 
                 outs = decode_traj_edge(
                     nms_p, np.asarray(code.h), llr, iters, variant,
-                    block_frames=256, mode="highest",
+                    block_frames=traj_block, mode="highest",
+                )
+            elif (
+                jax.default_backend() == "tpu" and variant not in ("NMS-r",)
+            ):
+                # large-code rung: edge-layout pure-XLA trajectory decode
+                from short_ldpc_decoding_osd_tpu.ops.nms_edge_xla import (
+                    decode_edge_xla,
+                )
+
+                outs = decode_edge_xla(
+                    nms_p, np.asarray(decode_h), llr, iters, variant,
+                    mode="highest",
                 )
             else:
                 outs = nms_ops.decode(nms_p, h_dec, llr, iters, variant)

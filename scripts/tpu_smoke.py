@@ -93,6 +93,28 @@ def main() -> int:
         f"maxdiff={np.abs(ref_t - got_t).max():.2e} hard={hard_t:.5f}",
     )
 
+    # --- edge-layout XLA rung (large-code path): tolerance vs dense on the
+    # production-scale WiMAX code ---
+    from short_ldpc_decoding_osd_tpu.ops.nms_edge_xla import (
+        decode_final_edge_xla,
+    )
+
+    wx = get_code("wimax_1056_880")
+    llr_w = jnp.asarray(rng.normal(1.0, 0.8, (256, wx.n)), jnp.float32)
+    ref_w = np.asarray(
+        nms.decode_final(params, jnp.asarray(wx.h, jnp.float32), llr_w, 12)
+    )
+    got_w = np.asarray(
+        decode_final_edge_xla(params, np.asarray(wx.h), llr_w, 12,
+                              mode="high")
+    )
+    hard_w = (np.sign(ref_w) == np.sign(got_w)).mean()
+    check(
+        "nms_edge_xla[high] wimax tolerance",
+        np.allclose(ref_w, got_w, atol=1e-2, rtol=1e-3) and hard_w >= 0.9999,
+        f"maxdiff={np.abs(ref_w - got_w).max():.2e} hard={hard_w:.5f}",
+    )
+
     # --- GE kernel (production bit-packed path): bitwise vs XLA on permuted H ---
     hb = np.stack([code.h[:, rng.permutation(code.n)] for _ in range(64)])
     hb = jnp.asarray(hb, jnp.int8)

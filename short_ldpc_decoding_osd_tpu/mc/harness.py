@@ -150,12 +150,20 @@ def build_nms_mc_step(
     capture_capacity: int = 0,
     all_zeros: bool = False,
     use_pallas: bool | None = None,
+    use_edge_xla: bool | None = None,
 ):
     """Build a (params, key) -> (counters, capture) Monte-Carlo step.
 
     counters = [frames, frame_errors, bit_errors, detected, undetected].
     ``use_pallas`` selects the fused VMEM kernel (default: automatically on
-    TPU for the scalar variants).  In capture mode the step runs the fastest
+    TPU for the scalar variants).  ``use_edge_xla`` selects the edge-layout
+    pure-XLA rung (``ops/nms_edge_xla``) — the large-code fast path for
+    codes whose incidence constants exceed the VMEM kernels' envelope
+    (default: automatically on TPU for scalar variants when no VMEM kernel
+    fits; 41x over the dense XLA step for WiMAX (1056, 880), Precision.HIGH
+    matmuls so counters can drift from the bit-exact dense decoder by f32
+    borderline frames — the same contract as the VMEM kernels' split mode).
+    In capture mode the step runs the fastest
     available kernel and captures flagged frames' channel LLRs; the harness
     re-derives their trajectories with the bit-exact XLA decoder and drops
     any frame that re-decode does not confirm as a detected failure, so the
@@ -184,6 +192,12 @@ def build_nms_mc_step(
         pallas_block >= 8 and batch % pallas_block == 0
     ):
         use_pallas = False
+    if use_edge_xla is None:
+        use_edge_xla = (
+            jax.default_backend() == "tpu"
+            and not use_pallas
+            and variant != "NMS-r"
+        )
 
     # a plain-AWGN spec's (mean, sigma) pass at run time; any other spec
     # structure (rayleigh / SNR blend) is baked into the compiled step
@@ -191,7 +205,7 @@ def build_nms_mc_step(
     cache_key = (
         code.name, code.n, code.m, _matrix_digest(decode_h, code.g),
         variant, num_iterations, batch,
-        capture_capacity, all_zeros, use_edge, use_pallas,
+        capture_capacity, all_zeros, use_edge, use_pallas, use_edge_xla,
         (spec if not runtime_moments else None), jax.default_backend(),
     )
     if cache_key in _STEP_CACHE:
@@ -227,6 +241,13 @@ def build_nms_mc_step(
                 soft_last = ops.nms_pallas.decode_final_pallas(
                     params, h, llr, num_iterations, variant,
                     block_frames=pallas_block,
+                )
+            elif use_edge_xla:
+                from ..ops.nms_edge_xla import decode_final_edge_xla
+
+                soft_last = decode_final_edge_xla(
+                    params, decode_h_host, llr, num_iterations, variant,
+                    mode="high",
                 )
             else:
                 soft_last = nms.decode_final(
@@ -435,9 +456,13 @@ def run_nms_mc(
                     ))
 
             def run_xla():
+                # the ladder's last rung stays the bit-exact dense decoder
+                # (rung-parity tests and the capture-confirm contract key
+                # on it), so the edge-XLA fast rung is explicitly off here
                 return build_nms_mc_step(
                     code, variant, num_iterations, spec, batch,
                     capture_capacity=capacity, use_pallas=False,
+                    use_edge_xla=False,
                 )
 
             step = build_ladder_step(

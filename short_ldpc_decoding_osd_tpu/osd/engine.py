@@ -635,8 +635,11 @@ def make_dl_osd_step_from_llr(model, code, variant: str, num_iterations: int,
     trajectory kernel (``nms_edge_pallas.decode_traj_edge``, full-f32
     "highest" mode, ~3e-5 vs XLA after 12 iterations; measured r5: the
     full phase-2 chunk drops 39.7 -> 8.4 ms with end-to-end OSD decisions
-    identical on 4096 random frames); "auto" picks "edge" on TPU when the
-    edge layout fits and the variant is scalar-normalized."""
+    identical on 4096 random frames); "edge_xla" uses the edge-layout
+    pure-XLA decoder (``nms_edge_xla.decode_edge_xla``, HIGHEST matmuls,
+    ~1e-6 vs dense — the large-code rung, no VMEM precondition); "auto"
+    picks "edge" on TPU when the edge layout fits and the variant is
+    scalar-normalized, "edge_xla" when it does not fit."""
     from ..ops import nms
 
     decode_h = code.extended().h if variant == "ENMS" else code.h
@@ -652,11 +655,16 @@ def make_dl_osd_step_from_llr(model, code, variant: str, num_iterations: int,
 
         dc = int(decode_h_host.sum(axis=1).max())
         fits = edge_auto(decode_h_host.shape[0], code.n, dc) >= 8
-        decoder = (
-            "edge"
-            if jax.default_backend() == "tpu" and fits and variant != "NMS-r"
-            else "xla"
-        )
+        if jax.default_backend() != "tpu" or variant == "NMS-r":
+            decoder = "xla"
+        elif fits:
+            decoder = "edge"
+        else:
+            # above the VMEM envelope (e.g. WiMAX (1056, 880)): the
+            # edge-layout pure-XLA rung, full-f32 HIGHEST matmuls (the
+            # trajectory feeds the DIA, where bf16 truncation broke walk
+            # parity in r4 — see ops/nms_edge_xla.py)
+            decoder = "edge_xla"
 
     def build(use_kernel):
         @jax.jit
@@ -671,6 +679,13 @@ def make_dl_osd_step_from_llr(model, code, variant: str, num_iterations: int,
                 outs = decode_traj_edge(
                     nms_params, decode_h_host, llr, num_iterations, variant,
                     block_frames=block, mode="highest",
+                )
+            elif decoder == "edge_xla":
+                from ..ops.nms_edge_xla import decode_edge_xla
+
+                outs = decode_edge_xla(
+                    nms_params, decode_h_host, llr, num_iterations, variant,
+                    mode="highest",
                 )
             else:
                 outs = nms.decode(
