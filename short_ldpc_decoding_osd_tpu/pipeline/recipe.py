@@ -90,8 +90,17 @@ def _capture_batch(cfg: "RecipeConfig", code: Code) -> int:
         # point (262144 frames at n=128, ~130 MB/step) inversely with n
         auto = max(1024, (262144 * 128 // max(n, 1)) // 1024 * 1024)
         return max(cfg.eval_batch, auto)
-    # the edge layout does not fit: capture demotes to the dense decoder,
-    # which materializes a (B, m, n) message tensor (plus AD-free copies) —
+    if cfg.variant != "NMS-r":
+        # the VMEM edge layout does not fit: capture rides the edge-layout
+        # pure-XLA rung (ops/nms_edge_xla, auto-selected by the harness for
+        # scalar variants), whose HBM working set is O(dc*m + n) per frame.
+        # The x16 temp factor reproduces the measured (1056,880) compile
+        # peak to ~10%: 65536 frames wanted 20.3 GB (OOM), 32768 ran at
+        # ~10 GB on the 16 GB part.
+        per_frame = (dc * m + n) * 4 * 16
+        return max(256, int(8e9 // per_frame) // 256 * 256)
+    # NMS-r has no fast rung: capture demotes to the dense decoder, which
+    # materializes a (B, m, n) message tensor (plus AD-free copies) —
     # bound B so ~3 such tensors stay under ~1.5 GB (the (1056,880) WiMAX
     # code OOMed HBM at the n-scaled batch: f32[31744,176,1056] = 25.7 GB)
     # round to a 256 granule (1024 rounded large m*n down to 0, and the

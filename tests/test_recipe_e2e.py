@@ -72,3 +72,25 @@ def test_run_recipe_end_to_end_small(tmp_path, tiny_recipe):
     # re-invocation REUSES the trained artifacts (stage skip logic)
     curve2 = rec.run_recipe(cfg, run_dir, snrs=[2.0], log=lambda *_: None)
     assert len(curve2["points"]) == 1
+
+
+def test_capture_batch_bounds_large_code(monkeypatch):
+    """_capture_batch on a fake TPU backend: the edge-XLA rung bound for the
+    (1056,880) WiMAX code must stay inside the measured HBM envelope
+    (32768 ran at ~10 GB; 65536 OOMed at 20.3 GB), and the NMS-r dense
+    fallback must respect the ~1.5 GB dense-tensor bound."""
+    import jax
+
+    from short_ldpc_decoding_osd_tpu.codes import get_code
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    code = get_code("wimax_1056_880")
+    cfg = rec.RecipeConfig(code_name=code.name)
+    b = rec._capture_batch(cfg, code)
+    assert 256 <= b < 65536 and b % 256 == 0
+
+    cfg_r = dataclasses.replace(cfg, variant="NMS-r")
+    b_r = rec._capture_batch(cfg_r, code)
+    m, n = code.h.shape
+    assert 256 <= b_r
+    assert b_r * m * n * 4 * 3 <= 1.6e9 or b_r == 256
