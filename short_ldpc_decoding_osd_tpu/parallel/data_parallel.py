@@ -42,9 +42,27 @@ def sharded_nms_mc_step(
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     total_batch = per_device_batch * n_dev
-    h = jnp.asarray(code.h, jnp.float32)
+    decode_h = code.extended().h if variant == "ENMS" else code.h
+    h = jnp.asarray(decode_h, jnp.float32)
     gen = jnp.asarray(code.g, jnp.float32)
-    edge_cols = jnp.asarray(nms.edge_columns(code.h)) if variant == "NMS-r" else None
+    edge_cols = (
+        jnp.asarray(nms.edge_columns(decode_h)) if variant == "NMS-r" else None
+    )
+
+    # codes above the VMEM kernels' envelope ride the edge-layout XLA rung
+    # (ops/nms_edge_xla) instead of the dense decoder, as on a single chip.
+    # The condition depends only on the code shape + backend, so every host
+    # of a multi-process mesh picks the same program (the host-uniformity
+    # property the rung-pinning tests guard).
+    from ..ops.nms_edge_pallas import auto_block_frames as _edge_auto
+
+    _h_np = np.asarray(decode_h)
+    _dc = int(_h_np.sum(axis=1).max())
+    use_edge_xla = (
+        jax.default_backend() == "tpu"
+        and variant != "NMS-r"
+        and _edge_auto(_h_np.shape[0], _h_np.shape[1], _dc) < 8
+    )
 
     batch_sharding = _sharding(mesh, axis)
     replicated = _sharding(mesh)
@@ -58,8 +76,17 @@ def sharded_nms_mc_step(
         llr, words = sample_batch(key, spec, gen, total_batch)
         llr = jax.lax.with_sharding_constraint(llr, batch_sharding)
         words = jax.lax.with_sharding_constraint(words, batch_sharding)
-        outs = nms.decode(params, h, llr, num_iterations, variant, edge_cols)
-        st = nms.frame_stats(outs[-1], words, h)
+        if use_edge_xla:
+            from ..ops.nms_edge_xla import decode_final_edge_xla
+
+            soft_last = decode_final_edge_xla(
+                params, _h_np, llr, num_iterations, variant, mode="high"
+            )
+        else:
+            soft_last = nms.decode(
+                params, h, llr, num_iterations, variant, edge_cols
+            )[-1]
+        st = nms.frame_stats(soft_last, words, h)
         cdt = count_dtype()  # int64 iff x64 enabled — see utils/dtypes.py
         return jnp.stack(
             [

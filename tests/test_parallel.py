@@ -445,3 +445,49 @@ def test_sharded_from_llr_step_matches_single_device(code):
         got = np.asarray(step(nms_params, dia_params, llr, labs,
                               teps_j, mask_j, acc_j, fcn))
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_enms_uses_extended_h(code):
+    """ENMS on the sharded XLA step must decode with the EXTENDED H, like
+    the single-device harness (it silently used the plain H until r5).
+    Same key => identical counters."""
+    from short_ldpc_decoding_osd_tpu.mc.harness import build_nms_mc_step
+
+    mesh = make_mesh(4)
+    spec = ChannelSpec.awgn(2.5, code.rate)
+    params = nms.init_params("ENMS")
+    key = jax.random.PRNGKey(7)
+    with mesh:
+        step = sharded_nms_mc_step(code, "ENMS", 6, spec, 16, mesh)
+        c_mesh = np.asarray(step(params, key))
+    direct = build_nms_mc_step(
+        code, "ENMS", 6, spec, 64, use_pallas=False, use_edge_xla=False
+    )
+    c_direct = np.asarray(direct(params, key)[0])
+    assert np.array_equal(c_mesh, c_direct), (c_mesh, c_direct)
+
+
+def test_sharded_edge_xla_rung_counters(code, monkeypatch):
+    """Force the backend gate open on the CPU mesh: the edge-layout XLA
+    rung's mesh program must reproduce the direct edge-XLA step's counters
+    (same key, same HIGH-precision semantics)."""
+    from short_ldpc_decoding_osd_tpu.mc.harness import build_nms_mc_step
+    from short_ldpc_decoding_osd_tpu.parallel import data_parallel as dp
+
+    mesh = make_mesh(4)
+    spec = ChannelSpec.awgn(3.0, code.rate)
+    params = nms.init_params("NMS-1")
+    key = jax.random.PRNGKey(11)
+    monkeypatch.setattr(dp.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(
+        "short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas.auto_block_frames",
+        lambda *a, **k: 0,
+    )
+    with mesh:
+        step = sharded_nms_mc_step(code, "NMS-1", 6, spec, 16, mesh)
+        c_mesh = np.asarray(step(params, key))
+    direct = build_nms_mc_step(
+        code, "NMS-1", 6, spec, 64, use_pallas=False, use_edge_xla=True
+    )
+    c_direct = np.asarray(direct(params, key)[0])
+    assert np.array_equal(c_mesh, c_direct), (c_mesh, c_direct)
