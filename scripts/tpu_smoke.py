@@ -115,6 +115,29 @@ def main() -> int:
         f"maxdiff={np.abs(ref_w - got_w).max():.2e} hard={hard_w:.5f}",
     )
 
+    # --- edge-XLA rung at MC-step level: same-seed counters vs the
+    # bit-exact dense step on the production-scale code (HIGH matmuls may
+    # flip borderline frames; bound the drift) ---
+    from short_ldpc_decoding_osd_tpu.channel import ChannelSpec
+    from short_ldpc_decoding_osd_tpu.mc.harness import build_nms_mc_step
+
+    spec_w = ChannelSpec.awgn(3.75, wx.rate)
+    key_w = jax.random.PRNGKey(17)
+    s_fast = build_nms_mc_step(
+        wx, "NMS-1", 12, spec_w, 4096, use_pallas=False, use_edge_xla=True
+    )
+    s_ref = build_nms_mc_step(
+        wx, "NMS-1", 12, spec_w, 4096, use_pallas=False, use_edge_xla=False
+    )
+    c_fast = np.asarray(s_fast(params, key_w)[0])
+    c_ref = np.asarray(s_ref(params, key_w)[0])
+    d_fe = abs(int(c_fast[1]) - int(c_ref[1]))
+    check(
+        "nms_edge_xla same-seed MC counters (wimax)",
+        d_fe <= 4 and int(c_fast[0]) == int(c_ref[0]),
+        f"d_frame_err={d_fe} fast={c_fast.tolist()} ref={c_ref.tolist()}",
+    )
+
     # --- GE kernel (production bit-packed path): bitwise vs XLA on permuted H ---
     hb = np.stack([code.h[:, rng.permutation(code.n)] for _ in range(64)])
     hb = jnp.asarray(hb, jnp.int8)
