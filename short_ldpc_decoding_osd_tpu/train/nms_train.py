@@ -91,8 +91,31 @@ def train_nms(
 
     data_key = jax.random.PRNGKey(cfg.seed)
 
+    # codes above the VMEM kernels' envelope train through the edge-layout
+    # XLA decoder (ops/nms_edge_xla): same update semantics and tie sets as
+    # the dense path (linear incidence matmuls + identical argmin rules),
+    # so gradients match to f32 reorder — see test_nms_edge_xla.py
+    from ..ops.nms_edge_pallas import auto_block_frames as _edge_auto
+
+    _h_np = np.asarray(train_code.h)
+    _dc = int(_h_np.sum(axis=1).max())
+    use_edge_xla = (
+        jax.default_backend() == "tpu"
+        and variant != "NMS-r"
+        and _edge_auto(_h_np.shape[0], _h_np.shape[1], _dc) < 8
+    )
+
     def loss_fn(p, llr, words):
-        outs = nms.decode(p, h, llr, cfg.num_iterations, variant, edge_cols)
+        if use_edge_xla:
+            from ..ops.nms_edge_xla import decode_edge_xla
+
+            outs = decode_edge_xla(
+                p, _h_np, llr, cfg.num_iterations, variant, mode="highest"
+            )
+        else:
+            outs = nms.decode(
+                p, h, llr, cfg.num_iterations, variant, edge_cols
+            )
         loss = nms.multi_iteration_loss(outs, words)
         st = nms.frame_stats(outs[-1], words, h)
         fer = jnp.mean(st["frame_error"].astype(jnp.float32))

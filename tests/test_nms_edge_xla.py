@@ -145,3 +145,33 @@ def test_engine_decoder_edge_xla_matches_xla():
         )
     for a, b in zip(outs["xla"], outs["edge_xla"]):
         assert np.array_equal(a, b)
+
+
+def test_gradients_match_dense():
+    """The training loss gradient through the edge-XLA decoder equals the
+    dense decoder's to f32 reorder tolerance (linear incidence matmuls +
+    identical argmin tie sets), on regular and irregular codes."""
+    import jax
+
+    code = get_code("wimax_1056_880")
+    rng = np.random.default_rng(9)
+    llr = jnp.asarray(rng.normal(0.8, 1.0, (8, code.n)), jnp.float32)
+    words = jnp.zeros((8, code.n), jnp.int32)
+    h = jnp.asarray(code.h, jnp.float32)
+    h_np = np.asarray(code.h)
+    p = nms.init_params("NMS-3")
+
+    def loss_dense(p):
+        outs = nms.decode(p, h, llr, 5, "NMS-3")
+        return nms.multi_iteration_loss(outs, words)
+
+    def loss_edge(p):
+        outs = decode_edge_xla(p, h_np, llr, 5, "NMS-3")
+        return nms.multi_iteration_loss(outs, words)
+
+    g_d = jax.grad(loss_dense)(p)
+    g_e = jax.grad(loss_edge)(p)
+    for k in g_d:
+        np.testing.assert_allclose(
+            np.asarray(g_d[k]), np.asarray(g_e[k]), rtol=1e-4, atol=1e-4
+        )
