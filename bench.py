@@ -277,6 +277,9 @@ def system_two_phase_throughput(code) -> dict | None:
     from short_ldpc_decoding_osd_tpu.ops.nms_edge_pallas import (
         auto_block_frames as _edge_auto,
     )
+    from short_ldpc_decoding_osd_tpu.ops.nms_edge_xla import (
+        supports as _exla_supports,
+    )
 
     _dc = int(np.asarray(decode_h).sum(axis=1).max())
     use_edge_traj = (
@@ -308,8 +311,8 @@ def system_two_phase_throughput(code) -> dict | None:
                     nms_p, np.asarray(code.h), llr, iters, variant,
                     block_frames=traj_block, mode="highest",
                 )
-            elif (
-                jax.default_backend() == "tpu" and variant not in ("NMS-r",)
+            elif jax.default_backend() == "tpu" and _exla_supports(
+                np.asarray(decode_h), variant
             ):
                 # large-code rung: edge-layout pure-XLA trajectory decode
                 from short_ldpc_decoding_osd_tpu.ops.nms_edge_xla import (

@@ -138,6 +138,26 @@ def main() -> int:
         f"d_frame_err={d_fe} fast={c_fast.tolist()} ref={c_ref.tolist()}",
     )
 
+    # --- NMS-r edge-layout rung: same-seed counter drift bound vs dense ---
+    p_r = nms.init_params("NMS-r", np.asarray(code.h), seed=1)
+    s_rf = build_nms_mc_step(
+        code, "NMS-r", 12, ChannelSpec.awgn(3.0, code.rate), 4096,
+        use_pallas=False, use_edge_xla=True,
+    )
+    s_rr = build_nms_mc_step(
+        code, "NMS-r", 12, ChannelSpec.awgn(3.0, code.rate), 4096,
+        use_pallas=False, use_edge_xla=False,
+    )
+    key_r = jax.random.PRNGKey(23)
+    c_rf = np.asarray(s_rf(p_r, key_r)[0])
+    c_rr = np.asarray(s_rr(p_r, key_r)[0])
+    d_r = abs(int(c_rf[1]) - int(c_rr[1]))
+    check(
+        "nms_edge_xla[NMS-r] same-seed MC counters",
+        d_r <= 4,
+        f"d_frame_err={d_r} fast={c_rf.tolist()} ref={c_rr.tolist()}",
+    )
+
     # --- GE kernel (production bit-packed path): bitwise vs XLA on permuted H ---
     hb = np.stack([code.h[:, rng.permutation(code.n)] for _ in range(64)])
     hb = jnp.asarray(hb, jnp.int8)

@@ -193,10 +193,12 @@ def build_nms_mc_step(
     ):
         use_pallas = False
     if use_edge_xla is None:
+        from ..ops.nms_edge_xla import supports as _edge_xla_supports
+
         use_edge_xla = (
             jax.default_backend() == "tpu"
             and not use_pallas
-            and variant != "NMS-r"
+            and _edge_xla_supports(decode_h, variant)
         )
 
     # a plain-AWGN spec's (mean, sigma) pass at run time; any other spec

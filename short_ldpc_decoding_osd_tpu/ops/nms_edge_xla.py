@@ -120,6 +120,46 @@ def _check_update_minsum_edge(vc, real, w_chk):
     return w_chk * edge_mag * jax.lax.stop_gradient(edge_sign)
 
 
+def _check_update_neural_edge(vc, real, params):
+    """NMS-r neural check magnitude on the (B, dc, m) edge layout — same
+    rule as ``nms._check_update_neural`` (sorted leave-one-out magnitudes
+    through the non-negative 2-layer NN, sign by parity).  Regular check
+    degree required (as in the dense path), so ``real`` is all-True and
+    only shapes the sign computation."""
+    ax = -2
+    neg = jnp.logical_and(vc < 0.0, real)
+    negcount = jnp.sum(neg.astype(jnp.float32), axis=ax, keepdims=True)
+    parity = negcount - 2.0 * jnp.floor(negcount * 0.5)
+    anyzero = jnp.any(
+        jnp.logical_and(vc == 0.0, real), axis=ax, keepdims=True
+    )
+    row_sign = jnp.where(anyzero, 0.0, 1.0 - 2.0 * parity)
+    own = jnp.where(vc > 0.0, 1.0, jnp.where(vc < 0.0, -1.0, 0.0))
+    edge_sign = row_sign * own * real
+
+    dc = vc.shape[-2]
+    mag = jnp.abs(vc)  # (B, dc, m)
+    loo_idx = np.stack(
+        [[q for q in range(dc) if q != p] for p in range(dc)]
+    )  # (dc, dc-1)
+    loo = mag[:, loo_idx, :]  # (B, dc, dc-1, m)
+    loo = jnp.sort(loo, axis=2)
+    hidden = jnp.einsum("bpqm,qh->bphm", loo, params["nn_w1"])
+    mags = jnp.einsum("bphm,ho->bpm", hidden, params["nn_w2"])
+    return mags * jax.lax.stop_gradient(edge_sign)
+
+
+def supports(h: np.ndarray, variant: str) -> bool:
+    """True iff this module can decode ``variant`` on ``h``: scalar
+    variants always; NMS-r only with a regular check degree (the
+    leave-one-out sort is undefined over padding slots — the same
+    constraint as the dense path's ``nms.edge_columns``)."""
+    if variant != "NMS-r":
+        return True
+    degs = np.asarray(h).sum(axis=1)
+    return bool((degs == degs[0]).all())
+
+
 _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,
@@ -128,10 +168,10 @@ _PRECISIONS = {
 
 
 def _build(params, h_host, variant, mode="highest"):
-    if variant == "NMS-r":
-        raise NotImplementedError(
-            "NMS-r's neural check update has no edge-layout XLA rung; "
-            "use the dense decoder (ops.nms)"
+    if variant == "NMS-r" and not supports(h_host, variant):
+        raise ValueError(
+            "NMS-r's leave-one-out check update requires a regular check "
+            "degree (matching nms.edge_columns)"
         )
     w_vc, w_chk, w_marg = _nms._weights(params, variant)
     gath, scat, _, real_np = incidence_matrices(h_host)
@@ -152,6 +192,8 @@ def _build(params, h_host, variant, mode="highest"):
         # gather totals back to edges: (B, n) @ (n, E)
         at_edges = jnp.matmul(total, gath, precision=prec)
         vc = at_edges.reshape(cv.shape) - cv
+        if variant == "NMS-r":
+            return _check_update_neural_edge(vc, real, params)
         return _check_update_minsum_edge(vc, real, w_chk)
 
     def soft_of(cv, llr):

@@ -652,11 +652,19 @@ def make_dl_osd_step_from_llr(model, code, variant: str, num_iterations: int,
     decode_h_host = np.asarray(decode_h)
     if decoder == "auto":
         from ..ops.nms_edge_pallas import auto_block_frames as edge_auto
+        from ..ops.nms_edge_xla import supports as edge_xla_supports
 
         dc = int(decode_h_host.sum(axis=1).max())
         fits = edge_auto(decode_h_host.shape[0], code.n, dc) >= 8
-        if jax.default_backend() != "tpu" or variant == "NMS-r":
+        if jax.default_backend() != "tpu":
             decoder = "xla"
+        elif variant == "NMS-r":
+            # no VMEM kernel for the neural check update; the edge-layout
+            # XLA rung covers regular codes
+            decoder = (
+                "edge_xla"
+                if edge_xla_supports(decode_h_host, variant) else "xla"
+            )
         elif fits:
             decoder = "edge"
         else:

@@ -55,12 +55,13 @@ def sharded_nms_mc_step(
     # of a multi-process mesh picks the same program (the host-uniformity
     # property the rung-pinning tests guard).
     from ..ops.nms_edge_pallas import auto_block_frames as _edge_auto
+    from ..ops.nms_edge_xla import supports as _edge_xla_supports
 
     _h_np = np.asarray(decode_h)
     _dc = int(_h_np.sum(axis=1).max())
     use_edge_xla = (
         jax.default_backend() == "tpu"
-        and variant != "NMS-r"
+        and _edge_xla_supports(_h_np, variant)
         and _edge_auto(_h_np.shape[0], _h_np.shape[1], _dc) < 8
     )
 

@@ -66,12 +66,36 @@ def test_irregular_padding_inert():
     assert np.abs(ref - got).max() < 1e-5
 
 
-def test_nms_r_not_supported():
+def test_nms_r_matches_dense_on_regular_code():
+    """NMS-r's leave-one-out neural check update on the edge layout matches
+    the dense path to relative f32 tolerance (untrained weights explode the
+    magnitudes, amplifying reorder noise absolutely but not relatively) with
+    identical hard decisions."""
     code = get_code("ccsds_128_64")
+    rng = np.random.default_rng(2)
+    llr = jnp.asarray(rng.normal(1.0, 0.8, (16, code.n)), jnp.float32)
+    h = jnp.asarray(code.h, jnp.float32)
     p = nms.init_params("NMS-r", code.h)
-    llr = jnp.zeros((4, code.n), jnp.float32)
-    with pytest.raises(NotImplementedError):
-        decode_final_edge_xla(p, np.asarray(code.h), llr, 3, "NMS-r")
+    ec = jnp.asarray(nms.edge_columns(code.h))
+    ref = np.asarray(nms.decode(p, h, llr, 6, "NMS-r", ec))
+    got = np.asarray(decode_edge_xla(p, np.asarray(code.h), llr, 6, "NMS-r"))
+    rel = np.abs(ref - got).max() / max(np.abs(ref).max(), 1.0)
+    assert rel < 1e-3
+    assert np.array_equal(np.sign(ref[-1]), np.sign(got[-1]))
+
+
+def test_nms_r_irregular_raises():
+    """NMS-r requires a regular check degree (as the dense path's
+    edge_columns); irregular H must raise, and supports() must say so."""
+    from short_ldpc_decoding_osd_tpu.ops.nms_edge_xla import supports
+
+    h = np.array([[1, 1, 0, 0], [1, 1, 1, 0], [0, 1, 1, 1]], np.int8)
+    assert not supports(h, "NMS-r")
+    assert supports(h, "NMS-1")
+    p = nms.init_params("NMS-r", get_code("ccsds_128_64").h)
+    llr = jnp.zeros((4, 4), jnp.float32)
+    with pytest.raises(ValueError):
+        decode_final_edge_xla(p, h, llr, 3, "NMS-r")
 
 
 def test_harness_rung_counters_match_dense():
