@@ -330,15 +330,40 @@ def sharded_nms_train_step(
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     total_batch = per_device_batch * n_dev
-    h = jnp.asarray(code.h, jnp.float32)
+    train_h = code.extended().h if variant == "ENMS" else code.h
+    h = jnp.asarray(train_h, jnp.float32)
     gen = jnp.asarray(code.g, jnp.float32)
-    edge_cols = jnp.asarray(nms.edge_columns(code.h)) if variant == "NMS-r" else None
+    edge_cols = (
+        jnp.asarray(nms.edge_columns(train_h)) if variant == "NMS-r" else None
+    )
     tx = staircase_adam(learning_rate, decay_steps, decay_rate, clip_norm)
     batch_sharding = _sharding(mesh, axis)
     replicated = _sharding(mesh)
 
+    # same large-code rung selection as the single-device trainer
+    # (shape+backend-driven, host-uniform)
+    from ..ops.nms_edge_pallas import auto_block_frames as _t_edge_auto
+    from ..ops.nms_edge_xla import supports as _t_exla_supports
+
+    _th_np = np.asarray(train_h)
+    _t_dc = int(_th_np.sum(axis=1).max())
+    train_edge_xla = (
+        jax.default_backend() == "tpu"
+        and _t_exla_supports(_th_np, variant)
+        and _t_edge_auto(_th_np.shape[0], _th_np.shape[1], _t_dc) < 8
+    )
+
     def loss_fn(params, llr, words):
-        outs = nms.decode(params, h, llr, num_iterations, variant, edge_cols)
+        if train_edge_xla:
+            from ..ops.nms_edge_xla import decode_edge_xla
+
+            outs = decode_edge_xla(
+                params, _th_np, llr, num_iterations, variant, mode="highest"
+            )
+        else:
+            outs = nms.decode(
+                params, h, llr, num_iterations, variant, edge_cols
+            )
         return nms.multi_iteration_loss(outs, words)
 
     @functools.partial(jax.jit, out_shardings=(replicated, replicated, replicated))

@@ -491,3 +491,48 @@ def test_sharded_edge_xla_rung_counters(code, monkeypatch):
     )
     c_direct = np.asarray(direct(params, key)[0])
     assert np.array_equal(c_mesh, c_direct), (c_mesh, c_direct)
+
+
+def test_sharded_train_enms_matches_single_device(code):
+    """ENMS mesh training must use the EXTENDED H like train_nms (it used
+    the plain H until r5): one same-key step from identical init must give
+    the same loss and updated params as the single-device loss/update."""
+    from short_ldpc_decoding_osd_tpu.ops import nms as nms_ops
+    from short_ldpc_decoding_osd_tpu.train.optim import staircase_adam
+
+    mesh = make_mesh(4)
+    spec = ChannelSpec.awgn(2.7, code.rate)
+    params = nms_ops.init_params("ENMS")
+    key = jax.random.PRNGKey(13)
+    from short_ldpc_decoding_osd_tpu.parallel.data_parallel import (
+        sharded_nms_train_step,
+    )
+
+    with mesh:
+        tx, step = sharded_nms_train_step(
+            code, "ENMS", 6, spec, 16, mesh, 0.01, 500, 0.95, 5.0
+        )
+        p_mesh, _, loss_mesh = step(params, tx.init(params), key)
+
+    import jax.numpy as jnp
+
+    from short_ldpc_decoding_osd_tpu.channel import sample_batch
+
+    train_code = code.extended()
+    h = jnp.asarray(train_code.h, jnp.float32)
+    gen = jnp.asarray(code.g, jnp.float32)
+    llr, words = sample_batch(key, spec, gen, 64)
+    tx2 = staircase_adam(0.01, 500, 0.95, 5.0)
+
+    def loss_fn(p):
+        outs = nms_ops.decode(p, h, llr, 6, "ENMS")
+        return nms_ops.multi_iteration_loss(outs, words)
+
+    loss_ref, grads = jax.value_and_grad(loss_fn)(params)
+    updates, _ = tx2.update(grads, tx2.init(params), params)
+    p_ref = jax.tree.map(lambda p, u: p + u, params, updates)
+    assert np.allclose(float(loss_mesh), float(loss_ref), rtol=1e-6)
+    for k in p_ref:
+        np.testing.assert_allclose(
+            np.asarray(p_mesh[k]), np.asarray(p_ref[k]), rtol=1e-5, atol=1e-7
+        )
