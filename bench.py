@@ -278,18 +278,21 @@ def system_two_phase_throughput(code) -> dict | None:
         auto_block_frames as _edge_auto,
     )
     from short_ldpc_decoding_osd_tpu.ops.nms_edge_xla import (
-        supports as _exla_supports,
+        auto_select as _exla_auto,
     )
 
     _dc = int(np.asarray(decode_h).sum(axis=1).max())
+    traj_block = 256
+    while traj_block >= 8 and cap % traj_block:
+        traj_block //= 2
     use_edge_traj = (
         jax.default_backend() == "tpu"
         and variant not in ("NMS-r",)
         and _edge_auto(decode_h.shape[0], code.n, _dc) >= 8
+        # a capture capacity with no power-of-two block >= 8 (possible via
+        # BENCH_SYSTEM_CAP) cannot lower the VMEM kernel — fall through
+        and traj_block >= 8
     )
-    traj_block = 256
-    while traj_block >= 8 and cap % traj_block:
-        traj_block //= 2
 
     def build_phase2(use_kernel):
         # ONE full-capacity program, not a 4096-chunk map: the sort/pack/
@@ -308,10 +311,10 @@ def system_two_phase_throughput(code) -> dict | None:
                 )
 
                 outs = decode_traj_edge(
-                    nms_p, np.asarray(code.h), llr, iters, variant,
+                    nms_p, np.asarray(decode_h), llr, iters, variant,
                     block_frames=traj_block, mode="highest",
                 )
-            elif jax.default_backend() == "tpu" and _exla_supports(
+            elif jax.default_backend() == "tpu" and _exla_auto(
                 np.asarray(decode_h), variant
             ):
                 # large-code rung: edge-layout pure-XLA trajectory decode

@@ -193,13 +193,12 @@ def build_nms_mc_step(
     ):
         use_pallas = False
     if use_edge_xla is None:
-        from ..ops.nms_edge_xla import supports as _edge_xla_supports
+        from ..ops.nms_edge_xla import auto_select as _edge_xla_auto
 
-        use_edge_xla = (
-            jax.default_backend() == "tpu"
-            and not use_pallas
-            and _edge_xla_supports(decode_h, variant)
-        )
+        # fit-based, NOT "not use_pallas": a small code whose VMEM kernels
+        # fit but whose batch is merely indivisible stays on the bit-exact
+        # dense decoder (the documented contract)
+        use_edge_xla = not use_pallas and _edge_xla_auto(decode_h, variant)
 
     # a plain-AWGN spec's (mean, sigma) pass at run time; any other spec
     # structure (rayleigh / SNR blend) is baked into the compiled step

@@ -160,6 +160,26 @@ def supports(h: np.ndarray, variant: str) -> bool:
     return bool((degs == degs[0]).all())
 
 
+def auto_select(h: np.ndarray, variant: str) -> bool:
+    """The ONE rung-selection predicate every call site shares: serve
+    ``variant`` on ``h`` through this module iff the backend is TPU, the
+    variant is supported here, and the code sits above the VMEM kernels'
+    envelope (``nms_edge_pallas.auto_block_frames`` returns no usable
+    block).  Depends only on code shape + backend, so multi-process mesh
+    hosts always agree."""
+    if jax.default_backend() != "tpu" or not supports(h, variant):
+        return False
+    if variant == "NMS-r":
+        # no VMEM kernel exists for the neural check update at ANY size,
+        # so the rung is the fast path whenever it is supported at all
+        return True
+    from .nms_edge_pallas import auto_block_frames
+
+    h_np = np.asarray(h)
+    dc = int(h_np.sum(axis=1).max())
+    return auto_block_frames(h_np.shape[0], h_np.shape[1], dc) < 8
+
+
 _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,

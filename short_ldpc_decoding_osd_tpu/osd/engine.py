@@ -652,27 +652,25 @@ def make_dl_osd_step_from_llr(model, code, variant: str, num_iterations: int,
     decode_h_host = np.asarray(decode_h)
     if decoder == "auto":
         from ..ops.nms_edge_pallas import auto_block_frames as edge_auto
-        from ..ops.nms_edge_xla import supports as edge_xla_supports
+        from ..ops.nms_edge_xla import auto_select as edge_xla_auto
 
         dc = int(decode_h_host.sum(axis=1).max())
         fits = edge_auto(decode_h_host.shape[0], code.n, dc) >= 8
-        if jax.default_backend() != "tpu":
-            decoder = "xla"
-        elif variant == "NMS-r":
-            # no VMEM kernel for the neural check update; the edge-layout
-            # XLA rung covers regular codes
-            decoder = (
-                "edge_xla"
-                if edge_xla_supports(decode_h_host, variant) else "xla"
-            )
-        elif fits:
+        if (
+            jax.default_backend() == "tpu"
+            and variant != "NMS-r"
+            and fits
+        ):
             decoder = "edge"
-        else:
-            # above the VMEM envelope (e.g. WiMAX (1056, 880)): the
-            # edge-layout pure-XLA rung, full-f32 HIGHEST matmuls (the
-            # trajectory feeds the DIA, where bf16 truncation broke walk
-            # parity in r4 — see ops/nms_edge_xla.py)
+        elif edge_xla_auto(decode_h_host, variant):
+            # above the VMEM envelope (e.g. WiMAX (1056, 880)) or NMS-r
+            # (no VMEM kernel for the neural update): the edge-layout
+            # pure-XLA rung, full-f32 HIGHEST matmuls (the trajectory
+            # feeds the DIA, where bf16 truncation broke walk parity in
+            # r4 — see ops/nms_edge_xla.py)
             decoder = "edge_xla"
+        else:
+            decoder = "xla"
 
     def build(use_kernel):
         @jax.jit

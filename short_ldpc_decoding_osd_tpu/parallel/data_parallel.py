@@ -54,16 +54,10 @@ def sharded_nms_mc_step(
     # The condition depends only on the code shape + backend, so every host
     # of a multi-process mesh picks the same program (the host-uniformity
     # property the rung-pinning tests guard).
-    from ..ops.nms_edge_pallas import auto_block_frames as _edge_auto
-    from ..ops.nms_edge_xla import supports as _edge_xla_supports
+    from ..ops.nms_edge_xla import auto_select as _edge_xla_auto
 
     _h_np = np.asarray(decode_h)
-    _dc = int(_h_np.sum(axis=1).max())
-    use_edge_xla = (
-        jax.default_backend() == "tpu"
-        and _edge_xla_supports(_h_np, variant)
-        and _edge_auto(_h_np.shape[0], _h_np.shape[1], _dc) < 8
-    )
+    use_edge_xla = _edge_xla_auto(_h_np, variant)
 
     batch_sharding = _sharding(mesh, axis)
     replicated = _sharding(mesh)
@@ -342,16 +336,10 @@ def sharded_nms_train_step(
 
     # same large-code rung selection as the single-device trainer
     # (shape+backend-driven, host-uniform)
-    from ..ops.nms_edge_pallas import auto_block_frames as _t_edge_auto
-    from ..ops.nms_edge_xla import supports as _t_exla_supports
+    from ..ops.nms_edge_xla import auto_select as _t_edge_xla_auto
 
     _th_np = np.asarray(train_h)
-    _t_dc = int(_th_np.sum(axis=1).max())
-    train_edge_xla = (
-        jax.default_backend() == "tpu"
-        and _t_exla_supports(_th_np, variant)
-        and _t_edge_auto(_th_np.shape[0], _th_np.shape[1], _t_dc) < 8
-    )
+    train_edge_xla = _t_edge_xla_auto(_th_np, variant)
 
     def loss_fn(params, llr, words):
         if train_edge_xla:

@@ -81,30 +81,36 @@ def _capture_batch(cfg: "RecipeConfig", code: Code) -> int:
     if jax.default_backend() != "tpu":
         return cfg.eval_batch
     from ..ops.nms_edge_pallas import auto_block_frames as edge_auto
+    from ..ops.nms_edge_xla import auto_select as edge_xla_auto
 
-    n = code.n
-    m = code.h.shape[0]
-    dc = int(code.h.sum(axis=1).max())
-    if edge_auto(m, n, dc) >= 8:
+    # size from the DECODING H — extended for ENMS, which can be far
+    # larger than the plain H the kernels are gated on
+    decode_h = code.extended().h if cfg.variant == "ENMS" else code.h
+    import numpy as _np
+
+    h_np = _np.asarray(decode_h)
+    m, n = h_np.shape
+    dc = int(h_np.sum(axis=1).max())
+    if cfg.variant != "NMS-r" and edge_auto(m, n, dc) >= 8:
         # edge-kernel capture: per-frame state is O(n); scale the flagship
         # point (262144 frames at n=128, ~130 MB/step) inversely with n
         auto = max(1024, (262144 * 128 // max(n, 1)) // 1024 * 1024)
         return max(cfg.eval_batch, auto)
-    if cfg.variant != "NMS-r":
-        # the VMEM edge layout does not fit: capture rides the edge-layout
-        # pure-XLA rung (ops/nms_edge_xla, auto-selected by the harness for
-        # scalar variants), whose HBM working set is O(dc*m + n) per frame.
-        # The x16 temp factor reproduces the measured (1056,880) compile
-        # peak to ~10%: 65536 frames wanted 20.3 GB (OOM), 32768 ran at
-        # ~10 GB on the 16 GB part.
+    if edge_xla_auto(h_np, cfg.variant):
+        # capture rides the edge-layout pure-XLA rung (ops/nms_edge_xla),
+        # whose HBM working set is O(dc*m + n) per frame.  The x16 temp
+        # factor reproduces the measured (1056,880) compile peak to ~10%:
+        # 65536 frames wanted 20.3 GB (OOM), 32768 ran at ~10 GB on the
+        # 16 GB part.
         per_frame = (dc * m + n) * 4 * 16
         return max(256, int(8e9 // per_frame) // 256 * 256)
-    # NMS-r has no fast rung: capture demotes to the dense decoder, which
-    # materializes a (B, m, n) message tensor (plus AD-free copies) —
-    # bound B so ~3 such tensors stay under ~1.5 GB (the (1056,880) WiMAX
-    # code OOMed HBM at the n-scaled batch: f32[31744,176,1056] = 25.7 GB)
-    # round to a 256 granule (1024 rounded large m*n down to 0, and the
-    # max(1024, ...) floor then blew past the stated bound for (1056,880))
+    # no fast rung (NMS-r with irregular degree): capture demotes to the
+    # dense decoder, which materializes a (B, m, n) message tensor (plus
+    # AD-free copies) — bound B so ~3 such tensors stay under ~1.5 GB (the
+    # (1056,880) WiMAX code OOMed HBM at the n-scaled batch:
+    # f32[31744,176,1056] = 25.7 GB); round to a 256 granule (1024 rounded
+    # large m*n down to 0, and the max(1024, ...) floor then blew past the
+    # stated bound for (1056,880))
     dense_bound = int(1.5e9 // max(m * n * 4 * 3, 1)) // 256 * 256
     return max(256, min(cfg.eval_batch, max(dense_bound, 256)))
 

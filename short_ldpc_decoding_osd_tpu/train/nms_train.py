@@ -95,16 +95,10 @@ def train_nms(
     # XLA decoder (ops/nms_edge_xla): same update semantics and tie sets as
     # the dense path (linear incidence matmuls + identical argmin rules),
     # so gradients match to f32 reorder — see test_nms_edge_xla.py
-    from ..ops.nms_edge_pallas import auto_block_frames as _edge_auto
-    from ..ops.nms_edge_xla import supports as _edge_xla_supports
+    from ..ops.nms_edge_xla import auto_select as _edge_xla_auto
 
     _h_np = np.asarray(train_code.h)
-    _dc = int(_h_np.sum(axis=1).max())
-    use_edge_xla = (
-        jax.default_backend() == "tpu"
-        and _edge_xla_supports(_h_np, variant)
-        and _edge_auto(_h_np.shape[0], _h_np.shape[1], _dc) < 8
-    )
+    use_edge_xla = _edge_xla_auto(_h_np, variant)
 
     def loss_fn(p, llr, words):
         if use_edge_xla:

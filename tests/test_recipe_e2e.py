@@ -89,8 +89,18 @@ def test_capture_batch_bounds_large_code(monkeypatch):
     b = rec._capture_batch(cfg, code)
     assert 256 <= b < 65536 and b % 256 == 0
 
+    # WiMAX is check-regular (dc=20 on every row), so NMS-r rides the
+    # edge-XLA rung and gets the same memory-enveloped bound
     cfg_r = dataclasses.replace(cfg, variant="NMS-r")
-    b_r = rec._capture_batch(cfg_r, code)
+    assert rec._capture_batch(cfg_r, code) == b
+
+    # with no fast rung at all (force supports() off) the dense decoder's
+    # ~1.5 GB message-tensor bound applies
+    monkeypatch.setattr(
+        "short_ldpc_decoding_osd_tpu.ops.nms_edge_xla.supports",
+        lambda h, v: False,
+    )
+    b_d = rec._capture_batch(cfg_r, code)
     m, n = code.h.shape
-    assert 256 <= b_r
-    assert b_r * m * n * 4 * 3 <= 1.6e9 or b_r == 256
+    assert 256 <= b_d
+    assert b_d * m * n * 4 * 3 <= 1.6e9 or b_d == 256
