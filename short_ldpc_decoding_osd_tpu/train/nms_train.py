@@ -160,6 +160,12 @@ def train_nms(
     history = {"loss": [], "fer": [], "ber": []}
     end_step = cfg.termination_step
     block = max(1, cfg.print_interval)
+    if variant == "NMS-r" and use_edge_xla:
+        # measured on v5e: a 100-step fused scan of NMS-r grad-of-sort
+        # programs on the (1056, 880) edge layout crashes the TPU worker
+        # process (XLA backend fault, reproducible); 5-step blocks run
+        # fine, so cap the block for this combination
+        block = min(block, 5)
     step_idx = start_step
     while step_idx < end_step:
         count = min(block, end_step - step_idx)
